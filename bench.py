@@ -1,0 +1,204 @@
+"""Benchmark: events/s through the BA inner loop (the reference's three
+instrumented phases — normal-equation forming, solving, objective
+evaluation; src/emba/solver.cpp:105-151, 181-222, 242-294) on a
+reference-scale problem (1024x512 pano, ~0.1M-4M events, 97 control poses —
+SURVEY.md §6 sizing).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "events/s", "vs_baseline": N}
+
+vs_baseline compares against a single-threaded CPU run of the same
+algorithm (XLA CPU, 1 thread — a stand-in for the reference's single-
+threaded C++/Eigen, which is not buildable here without ROS). Target from
+BASELINE.md: >= 10x.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+# Problem scale (override via env for experiments)
+SENSOR = int(os.environ.get("BENCH_SENSOR", "128"))
+PANO_H = int(os.environ.get("BENCH_PANO_H", "512"))
+NUM_STEPS = int(os.environ.get("BENCH_STEPS", "600"))
+T_END = float(os.environ.get("BENCH_T_END", "4.8"))
+C_TH = float(os.environ.get("BENCH_C_TH", "0.1"))
+MAX_EVENTS = int(os.environ.get("BENCH_MAX_EVENTS", "4000000"))
+LM_ITERS = int(os.environ.get("BENCH_LM_ITERS", "6"))
+CPU_EVENTS = int(os.environ.get("BENCH_CPU_EVENTS", "200000"))
+CPU_LM_ITERS = int(os.environ.get("BENCH_CPU_LM_ITERS", "2"))
+
+
+def build_dataset():
+    """Synthesize (and cache) the benchmark event stream."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = f"s{SENSOR}_p{PANO_H}_n{NUM_STEPS}_t{T_END}_c{C_TH}"
+    path = os.path.join(CACHE_DIR, f"bench_{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return {k: z[k] for k in z.files}
+    from emba_tpu import synth
+
+    rng = np.random.default_rng(7)
+    sensor = synth.default_sensor(SENSOR, SENSOR, f=SENSOR * 0.9)
+    B = synth.smooth_random_map(PANO_H, 2 * PANO_H, rng, smooth=4, amp=3.0)
+    scene = synth.generate(
+        rng,
+        sensor,
+        pano_width=2 * PANO_H,
+        pano_height=PANO_H,
+        c_th=C_TH,
+        t_end=T_END,
+        dt_knots=0.05,
+        num_steps=NUM_STEPS,
+        motion_amp=0.22,
+        brightness=B,
+    )
+    data = dict(
+        t=scene.t,
+        x=scene.x,
+        y=scene.y,
+        pol=scene.pol,
+        gx=scene.gx,
+        gy=scene.gy,
+        knots=scene.traj.knots,
+        bearing_lut=sensor.bearing_lut(),
+        t_beg=np.float64(0.0),
+        dt_knots=np.float64(0.05),
+        sensor_width=np.int64(SENSOR),
+    )
+    np.savez_compressed(path, **data)
+    return data
+
+
+def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
+    """Run the LM BA loop; return per-phase stats."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from emba_tpu import model, pairing, solver, spline
+
+    n = min(len(data["t"]), max_events)
+    dtype = jnp.float32 if dtype_str == "float32" else jnp.float64
+    if dtype_str == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    knots = np.asarray(data["knots"])
+    traj = spline.Trajectory(
+        t_beg=float(data["t_beg"]), dt=float(data["dt_knots"]), knots=knots, order=2
+    )
+    # perturbed init so the solver does real work
+    rng = np.random.default_rng(1)
+    steps = rng.normal(size=(traj.num_knots, 3)) * 0.01
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(traj, knots=spline._np_exp(walk) @ knots)
+
+    pano_h, pano_w = data["gx"].shape
+    cfg = model.ModelConfig(
+        c_th=C_TH,
+        pano_width=pano_w,
+        pano_height=pano_h,
+        thres_valid_pixel=3,
+        alpha=0.5,
+        outlier_dp_norm=3.0,
+    )
+    win = pairing.build_window(
+        data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],
+        int(data["sensor_width"]), traj0.locate, 100,
+    )
+    dev = model.DeviceWindow.from_window(
+        win, data["bearing_lut"], int(data["sensor_width"]), dtype
+    )
+    Gx = jnp.asarray(data["gx"], dtype)
+    Gy = jnp.asarray(data["gy"], dtype)
+    k0 = jnp.asarray(traj0.knots, dtype)
+
+    # Warm up all jitted phases (exclude compile time from the measurement).
+    lin = model.linearize(k0, Gx, Gy, dev, cfg, True)
+    neq = model.form_normal_eq(lin, Gx, Gy, cfg, traj.num_knots)
+    x1, x2 = model.solve_normal_eq(neq, jnp.asarray(1e-3, dtype), True)
+    jax.block_until_ready(x1)
+
+    t0 = time.perf_counter()
+    kf, gxf, gyf, stats = solver.solve_window(
+        k0, Gx, Gy, dev, cfg, solver.LMConfig(max_num_iter=lm_iters),
+        fix_first=True,
+    )
+    wall = time.perf_counter() - t0
+    eps = stats.events_per_second()
+    return dict(
+        num_events=stats.num_events,
+        lm_iterations=len(stats.iterations),
+        wall_s=wall,
+        events_per_s=eps,
+        cost_first=stats.iterations[0]["cost_min"],
+        cost_last=stats.iterations[-1]["cost_min"],
+    )
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        data = build_dataset()
+        res = run_ba(data, "float64", CPU_LM_ITERS, CPU_EVENTS)
+        print(json.dumps(res))
+        return
+
+    data = build_dataset()
+
+    # CPU baseline in a subprocess (single-threaded XLA CPU, f64 — proxy for
+    # the reference's single-threaded C++/Eigen).
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false"
+    env["OMP_NUM_THREADS"] = "1"
+    env["OPENBLAS_NUM_THREADS"] = "1"
+    baseline_eps = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        baseline = json.loads(line)
+        baseline_eps = baseline["events_per_s"]["total"]
+    except Exception as e:  # noqa: BLE001
+        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+
+    res = run_ba(data, "float32", LM_ITERS, MAX_EVENTS)
+    value = res["events_per_s"]["total"]
+    vs = value / baseline_eps if baseline_eps else None
+    print(
+        json.dumps(
+            {
+                "metric": "events_per_s_ba_inner_loop",
+                "value": value,
+                "unit": "events/s",
+                "vs_baseline": vs,
+                "detail": {
+                    "num_events": res["num_events"],
+                    "lm_iterations": res["lm_iterations"],
+                    "wall_s": res["wall_s"],
+                    "phase_events_per_s": res["events_per_s"],
+                    "cpu_baseline_events_per_s": baseline_eps,
+                    "cost_first": res["cost_first"],
+                    "cost_last": res["cost_last"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Multi-chip scaling: mesh construction, sharded BA step, multi-host init.
+
+The reference is single-process single-threaded (SURVEY.md §2.3); this layer
+is designed fresh for TPU:
+
+* mesh axes ``("ev", "tile")`` — events (the "sequence"/data axis) sharded
+  over ``ev``; the panorama pixel domain (A12/A22/b2/x2, the tensor-parallel
+  axis) sharded over ``tile``; the pose system (A11, S, x1: ~3K x 3K小)
+  replicated,
+* the distributed Gauss-Newton reduction is expressed through GSPMD: inputs
+  carry ``NamedSharding``s and intermediate constraints
+  (``with_sharding_constraint``) steer XLA to insert the psum /
+  reduce-scatter / all-gather collectives over ICI,
+* multi-host entry via ``jax.distributed.initialize``.
+
+Mapping to classic strategies (BASELINE.json north star): DP/SP = ``ev``
+axis (time-segmented event stream; the spline-segment locality keeps A11
+near-block-diagonal and psum-cheap); TP = ``tile`` axis over the map;
+PP = pipelining successive sliding windows (host-level, see pipeline.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import model as M
+
+
+def make_mesh(num_ev: int | None = None, num_tile: int = 1, devices=None) -> Mesh:
+    """Build a ("ev", "tile") device mesh. Defaults to all devices on the
+    event axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if num_ev is None:
+        num_ev = len(devices) // num_tile
+    devices = devices[: num_ev * num_tile].reshape(num_ev, num_tile)
+    return Mesh(devices, ("ev", "tile"))
+
+
+def init_multihost(coordinator: str | None = None, **kw) -> None:
+    """Initialize cross-host communication (reference has none; this is the
+    jax.distributed replacement for an MPI/NCCL bootstrap)."""
+    jax.distributed.initialize(coordinator_address=coordinator, **kw)
+
+
+def pad_window(win_dev: M.DeviceWindow, multiple: int) -> M.DeviceWindow:
+    """Pad event arrays to a multiple of the event-shard count. Padded events
+    are masked out via ``has_prev=False`` (they produce no measurements)."""
+    n = win_dev.bearings.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return win_dev
+
+    def pad_arr(a, value=0):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=value)
+
+    return M.DeviceWindow(
+        bearings=pad_arr(win_dev.bearings).at[n:, 2].set(1.0),
+        pol_signed=pad_arr(win_dev.pol_signed),
+        prev_idx=pad_arr(win_dev.prev_idx),
+        has_prev=pad_arr(win_dev.has_prev, value=False),
+        s=pad_arr(win_dev.s),
+        u=pad_arr(win_dev.u),
+    )
+
+
+def shard_window(win_dev: M.DeviceWindow, mesh: Mesh) -> M.DeviceWindow:
+    """Place the window on the mesh: event arrays sharded over ``ev``."""
+    win_dev = pad_window(win_dev, mesh.shape["ev"])
+    ev = NamedSharding(mesh, P("ev"))
+    return M.DeviceWindow(
+        bearings=jax.device_put(win_dev.bearings, NamedSharding(mesh, P("ev", None))),
+        pol_signed=jax.device_put(win_dev.pol_signed, ev),
+        prev_idx=jax.device_put(win_dev.prev_idx, ev),
+        has_prev=jax.device_put(win_dev.has_prev, ev),
+        s=jax.device_put(win_dev.s, ev),
+        u=jax.device_put(win_dev.u, ev),
+    )
+
+
+def replicate(mesh: Mesh, *arrays):
+    """Place arrays replicated on the mesh."""
+    sh = NamedSharding(mesh, P())
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def _constrain(mesh: Mesh, lin: M.Linearization) -> M.Linearization:
+    """Keep per-measurement arrays sharded over the event axis."""
+    ev = NamedSharding(mesh, P("ev"))
+
+    def c(a, spec=None):
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, spec) if spec is not None else ev
+        )
+
+    return M.Linearization(
+        e=c(lin.e),
+        inlier=c(lin.inlier),
+        pm_pix=c(lin.pm_pix),
+        num_ev_map=c(lin.num_ev_map, P()),
+        d=c(lin.d, P("ev", None)),
+        Jc=c(lin.Jc, P("ev", None)),
+        Jp=c(lin.Jp, P("ev", None)),
+        i_c=c(lin.i_c),
+        i_p=c(lin.i_p),
+    )
+
+
+def _constrain_neq(mesh: Mesh, neq: M.NormalEq) -> M.NormalEq:
+    """Shard the map-domain normal-equation blocks over ``tile``; pose blocks
+    replicated (they are tiny)."""
+
+    def c(a, spec):
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    return M.NormalEq(
+        A11=c(neq.A11, P()),
+        b1=c(neq.b1, P()),
+        A22=c(neq.A22, P("tile", None)),
+        b2=c(neq.b2, P("tile", None)),
+        A12=c(neq.A12, P("tile", None, None)),
+        active=c(neq.active, P("tile")),
+    )
+
+
+def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first: bool):
+    """Build the jitted full BA step (linearize -> normal eq -> Schur solve ->
+    state update -> trial cost) with GSPMD shardings over the mesh.
+
+    Returns step(knots, Gx, Gy, dev_win, lam) ->
+      (knots_new, Gx_new, Gy_new, cost_new, lin_new-cost-pieces).
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def step(knots, Gx, Gy, dev_win: M.DeviceWindow, lam):
+        lin = _constrain(mesh, M.linearize(knots, Gx, Gy, dev_win, cfg, True))
+        neq = _constrain_neq(mesh, M.form_normal_eq(lin, Gx, Gy, cfg, num_knots))
+        x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
+        knots_new = M.update_knots(knots, x1, fix_first)
+        gx_new, gy_new = M.update_map(Gx, Gy, x2, 1.0, neq.active)
+        lin_new = M.linearize(knots_new, gx_new, gy_new, dev_win, cfg, True)
+        cost_new = M.data_cost(lin_new.e, cfg) + M.reg_cost(
+            gx_new, gy_new, cfg.alpha
+        )
+        cost_old = M.data_cost(lin.e, cfg) + M.reg_cost(Gx, Gy, cfg.alpha)
+        return knots_new, gx_new, gy_new, cost_old, cost_new
+
+    return step

@@ -1,0 +1,194 @@
+"""Levenberg-Marquardt driver for one time window.
+
+Re-implements the reference's ``EMBA::solveTimeWindow``
+(``src/emba/solver.cpp:11-368``) with the same control flow:
+
+* lambda init 1e-3, bounds [1e-300, 1e3], x10 / /10 schedule
+  (``solver.cpp:15-17, 311, 349``),
+* relinearize only after an accepted step (``solver.cpp:66-103``) — the trial
+  evaluation already produces the next linearization, which is reused,
+* convergence when the relative cost change is below ``tol_fun`` for
+  ``num_times_tol_fun_sat`` consecutive accepted iterations
+  (``solver.cpp:319-340``),
+* first-window gauge fixing of the first control pose (``solver.cpp:156-165,
+  226-234``) via masking,
+* per-phase instrumentation mirroring the reference's ENABLE_CHRONO counters
+  (``solver.cpp:105-151, 181-222, 242-294``) plus an events/s metric.
+
+The loop runs on the host (cheap scalar decisions, ~50 iterations); all heavy
+phases are jitted device functions from :mod:`emba_tpu.model`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from . import model as M
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Reference ``LMSettings`` (include/emba/params.h:4-13)."""
+
+    max_num_iter: int = 50
+    tol_fun: float = 1e-3
+    num_times_tol_fun_sat: int = 2
+    lambda_init: float = 1e-3
+    lambda_max: float = 1e3
+    lambda_min: float = 1e-300
+
+
+@dataclasses.dataclass
+class LMStats:
+    iterations: list = dataclasses.field(default_factory=list)  # per-iter dicts
+    time_form_s: float = 0.0
+    time_solve_s: float = 0.0
+    time_objective_s: float = 0.0
+    count_form: int = 0
+    count_solve: int = 0
+    count_objective: int = 0
+    num_events: int = 0
+    converged: bool = False
+
+    def events_per_second(self) -> dict:
+        """Throughput per instrumented phase (the BASELINE.md metric)."""
+        out = {}
+        for name, t, c in [
+            ("form", self.time_form_s, self.count_form),
+            ("solve", self.time_solve_s, self.count_solve),
+            ("objective", self.time_objective_s, self.count_objective),
+        ]:
+            out[name] = (self.num_events * c / t) if t > 0 else float("inf")
+        total = self.time_form_s + self.time_solve_s + self.time_objective_s
+        n_iter = max(self.count_objective, 1)
+        out["total"] = self.num_events * n_iter / total if total > 0 else float("inf")
+        return out
+
+
+def solve_window(
+    knots,
+    Gx,
+    Gy,
+    dev_win: M.DeviceWindow,
+    cfg: M.ModelConfig,
+    lm: LMConfig = LMConfig(),
+    damping_factor: float = 1.0,
+    fix_first: bool = False,
+    use_cg: bool = False,
+    callback=None,
+):
+    """Run LM on (trajectory knots ⊕ gradient map) for one window.
+
+    Args:
+      knots: (K, 3, 3) device array of control poses.
+      Gx, Gy: (H, W) device gradient maps.
+      dev_win: device-resident event window.
+      callback: optional fn(iter, Gx, Gy, info) for evolution dumps
+        (reference ``saveEvoData``, solver.cpp:370-425).
+
+    Returns: (knots, Gx, Gy, LMStats).
+    """
+    num_knots = knots.shape[0]
+    stats = LMStats(num_events=int(dev_win.bearings.shape[0]))
+
+    lam = lm.lambda_init
+    cost_min_old = 1e99
+    cost_new = cost_min_old
+    count_tol_sat = 0
+    cost_decreased = True
+    it = 0
+
+    def _cost(lin, gx, gy):
+        return (
+            float(M.data_cost(lin.e, cfg)),
+            float(M.reg_cost(gx, gy, cfg.alpha)),
+        )
+
+    # Initial linearization (iter 0 path, solver.cpp:71-92).
+    t0 = time.perf_counter()
+    lin = M.linearize(knots, Gx, Gy, dev_win, cfg, need_deriv=True)
+    cost_data, cost_reg = _cost(lin, Gx, Gy)
+    jax.block_until_ready(lin.e)
+    stats.time_objective_s += time.perf_counter() - t0
+    stats.count_objective += 1
+    cost_min = cost_data + cost_reg
+
+    neq = None
+    while (
+        it <= lm.max_num_iter
+        and cost_min > 1e-16
+        and lm.lambda_min <= lam <= lm.lambda_max
+    ):
+        if cost_decreased:
+            t0 = time.perf_counter()
+            neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
+            jax.block_until_ready(neq.b1)
+            stats.time_form_s += time.perf_counter() - t0
+            stats.count_form += 1
+
+        if callback is not None:
+            callback(it, Gx, Gy, dict(lam=lam, cost_min=cost_min))
+
+        # Solve the (damped) normal equations.
+        t0 = time.perf_counter()
+        if use_cg:
+            x1, x2, cg_it, cg_err = M.solve_normal_eq_cg(neq, lam, fix_first)
+        else:
+            x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
+            cg_it, cg_err = None, None
+        jax.block_until_ready(x1)
+        stats.time_solve_s += time.perf_counter() - t0
+        stats.count_solve += 1
+
+        # Trial state (solver.cpp:226-240).
+        knots_new = M.update_knots(knots, x1, fix_first)
+        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping_factor, neq.active)
+
+        # Trial evaluation WITH derivatives — reused on accept
+        # (solver.cpp:251-268 mirrors evaluateDataError(..., true, ...)).
+        t0 = time.perf_counter()
+        lin_new = M.linearize(knots_new, gx_new, gy_new, dev_win, cfg, True)
+        cost_data_new, cost_reg_new = _cost(lin_new, gx_new, gy_new)
+        jax.block_until_ready(lin_new.e)
+        stats.time_objective_s += time.perf_counter() - t0
+        stats.count_objective += 1
+        cost_new = cost_data_new + cost_reg_new
+        it += 1
+
+        rec = dict(
+            iter=it,
+            log10_lambda=np.log10(lam),
+            cost_min=cost_min,
+            cost_new=cost_new,
+            cost_data=cost_data,
+            cost_reg=cost_reg,
+        )
+        if cg_it is not None:
+            rec["cg_iterations"] = int(cg_it)
+            rec["cg_error"] = float(cg_err)
+        stats.iterations.append(rec)
+
+        if cost_new < cost_min:
+            # Accept (solver.cpp:299-340).
+            cost_decreased = True
+            knots, Gx, Gy = knots_new, gx_new, gy_new
+            lin = lin_new
+            lam /= 10.0
+            cost_min_old, cost_min = cost_min, cost_new
+            cost_data, cost_reg = cost_data_new, cost_reg_new
+            if abs(1.0 - cost_min / (cost_min_old + 1e-10)) < lm.tol_fun:
+                count_tol_sat += 1
+                if count_tol_sat >= lm.num_times_tol_fun_sat:
+                    stats.converged = True
+                    return knots, Gx, Gy, stats
+        else:
+            # Reject (solver.cpp:343-352).
+            cost_decreased = False
+            lam *= 10.0
+            count_tol_sat = 0
+
+    return knots, Gx, Gy, stats

@@ -1,0 +1,120 @@
+"""End-to-end bundle adjustment on synthetic events: the recover-the-known-
+trajectory fixture (SURVEY.md §4 — the validation the reference only does
+manually against datasets).
+
+Key regime note (validated during bring-up): the LEGM is a local
+linearization — measurements with large inter-event displacement |dp| carry
+systematic model error, so the synthetic scene uses sharp texture (small dp)
+and a tight outlier cut. With those, BA from a several-degree perturbation
+must recover the trajectory to well under a degree, mirroring the
+reference's headline behavior (BASELINE.md: CMax-SLAM 1.69->0.92 deg etc.).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emba_tpu import metrics, model, pairing, solver, spline, synth
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(42)
+    sensor = synth.default_sensor(48, 48, f=44.0)
+    B = synth.smooth_random_map(96, 192, rng, smooth=3, amp=3.0)
+    scene = synth.generate(
+        rng,
+        sensor,
+        pano_width=192,
+        pano_height=96,
+        c_th=0.1,
+        t_end=1.0,
+        dt_knots=0.05,
+        num_steps=600,
+        motion_amp=0.25,
+        brightness=B,
+    )
+    cfg = model.ModelConfig(
+        c_th=0.1,
+        pano_width=192,
+        pano_height=96,
+        thres_valid_pixel=3,
+        alpha=0.5,
+        outlier_dp_norm=3.0,
+    )
+    return rng, sensor, scene, cfg
+
+
+def test_ba_recovers_trajectory(setup):
+    rng, sensor, scene, cfg = setup
+    # large smooth perturbation (random-walk on the knots), several degrees
+    steps = rng.normal(size=(scene.traj.num_knots, 3)) * 0.02
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj0.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    tt = np.linspace(0.05, 0.95, 200)
+    R_gt = np.asarray(scene.traj.evaluate(tt))
+    rmse0 = metrics.trajectory_rmse_deg(traj0, tt, R_gt)
+    assert rmse0 > 1.5  # the perturbation is actually large
+
+    knots, Gx, Gy, st = solver.solve_window(
+        jnp.asarray(traj0.knots),
+        jnp.asarray(scene.gx),
+        jnp.asarray(scene.gy),
+        dev,
+        cfg,
+        solver.LMConfig(max_num_iter=40),
+        fix_first=True,
+    )
+    tA = dataclasses.replace(traj0, knots=np.asarray(knots))
+    rmse1 = metrics.trajectory_rmse_deg(tA, tt, R_gt)
+
+    # cost must drop by a large factor and RMSE recover to < 1 degree
+    assert st.iterations[-1]["cost_min"] < 0.2 * st.iterations[0]["cost_min"]
+    assert rmse1 < 1.0
+    assert rmse1 < 0.5 * rmse0
+    # map stays finite and correlated with GT gradients on active pixels
+    gx = np.asarray(Gx)
+    assert np.isfinite(gx).all()
+    act = np.abs(gx) > 0
+    corr = np.corrcoef(gx[act], scene.gx[act])[0, 1]
+    assert corr > 0.8
+
+
+def test_ba_small_window_no_nan(setup):
+    """Sparse windows leave knots unobserved — the solve must stay finite
+    (regression: singular Schur complement produced NaN knots)."""
+    rng, sensor, scene, cfg = setup
+    win = pairing.build_window(
+        scene.t[:300],
+        scene.x[:300],
+        scene.y[:300],
+        scene.pol[:300],
+        sensor.width,
+        scene.traj.locate,
+        100,
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    knots, Gx, Gy, st = solver.solve_window(
+        jnp.asarray(scene.traj.knots),
+        jnp.asarray(scene.gx),
+        jnp.asarray(scene.gy),
+        dev,
+        cfg,
+        solver.LMConfig(max_num_iter=2),
+        fix_first=True,
+    )
+    assert np.isfinite(np.asarray(knots)).all()
+    assert np.isfinite(np.asarray(Gx)).all()
