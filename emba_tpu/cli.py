@@ -1,0 +1,274 @@
+"""Command-line interface (replaces the reference's ROS node + launch files,
+``src/emba/node.cpp`` + ``launch/*.launch``).
+
+Subcommands:
+  run          full EMBA on a sequence (events + front-end trajectory [+ map])
+  convert-bag  rosbag -> events.npz
+  synth        generate a synthetic dataset (events + GT trajectory + maps)
+  eval         rotation RMSE of a trajectory against ground truth
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args):
+    import jax.numpy as jnp
+
+    from . import config as C
+    from . import io as eio
+    from . import rosbag as rb
+    from .camera import PinholeCamera, load_camera_yaml
+    from .pipeline import EmbaPipeline
+
+    cfg = C.preset(args.preset) if args.preset else C.BAConfig()
+    for k in (
+        "start_time",
+        "stop_time",
+        "c_th",
+        "alpha",
+        "dt_knots",
+        "max_num_iter",
+        "event_sampling_rate",
+        "pano_height",
+        "dtype",
+        "outlier_dp_norm",
+        "thres_valid_pixel",
+    ):
+        v = getattr(args, k, None)
+        if v is not None:
+            setattr(cfg, k, v)
+    if args.pano_height:
+        cfg.pano_width = 2 * args.pano_height
+    if args.use_cg:
+        cfg.use_cg = True
+    if args.irls:
+        cfg.use_irls = True
+        cfg.cost_type = args.irls
+    if args.spline_order:
+        cfg.spline_order = args.spline_order
+
+    # --- events + camera ---------------------------------------------------
+    cam_info = None
+    if args.events.endswith(".bag"):
+        (t, x, y, pol), cam_info = rb.parse_rosbag(
+            args.events,
+            args.events_topic,
+            args.camera_info_topic,
+            tmin=cfg.start_time + cfg.time_offset,
+            tmax=cfg.stop_time + cfg.time_offset,
+        )
+    else:
+        t, x, y, pol, _meta = eio.load_events_npz(args.events)
+
+    if args.calib:
+        camera = load_camera_yaml(args.calib)
+    elif cam_info is not None:
+        camera = PinholeCamera.from_calib(
+            cam_info.width, cam_info.height, cam_info.K, cam_info.D, cam_info.R,
+            cam_info.P,
+        )
+    else:
+        sys.exit("need --calib YAML or a bag with camera_info")
+
+    # --- front-end trajectory ----------------------------------------------
+    times, rots = eio.load_tum_trajectory(args.poses, time_offset=cfg.time_offset)
+
+    # --- initial map ---------------------------------------------------------
+    gx = gy = None
+    if args.map_gx and args.map_gy:
+        gx, gy = eio.load_map_bin(args.map_gx, args.map_gy)
+        cfg.init_map_available = True
+    else:
+        cfg.init_map_available = False
+
+    pipe = EmbaPipeline(
+        cfg,
+        camera,
+        (t, x, y, pol),
+        times,
+        rots,
+        init_gx=gx,
+        init_gy=gy,
+        result_dir=args.out,
+        record_data=args.out is not None,
+        record_maps=args.record_maps,
+    )
+    res = pipe.run(resume_from=args.resume)
+    eps = res.window_stats[-1].events_per_second() if res.window_stats else {}
+    print(
+        json.dumps(
+            {
+                "windows": len(res.window_stats),
+                "num_knots": res.trajectory.num_knots,
+                "events_per_second": eps,
+                "result_dir": res.result_dir,
+            }
+        )
+    )
+
+
+def _cmd_convert_bag(args):
+    from . import io as eio
+    from . import rosbag as rb
+
+    (t, x, y, pol), cam = rb.parse_rosbag(
+        args.bag, args.events_topic, args.camera_info_topic
+    )
+    eio.save_events_npz(args.out, t, x, y, pol)
+    print(f"wrote {len(t)} events -> {args.out}")
+    if cam is not None and args.calib_out:
+        with open(args.calib_out, "w") as f:
+            f.write(f"image_width: {cam.width}\nimage_height: {cam.height}\n")
+            f.write("camera_matrix:\n  rows: 3\n  cols: 3\n")
+            f.write(f"  data: [{', '.join(map(str, cam.K))}]\n")
+            f.write(f"distortion_model: {cam.distortion_model}\n")
+            f.write("distortion_coefficients:\n  rows: 1\n  cols: 5\n")
+            f.write(f"  data: [{', '.join(map(str, cam.D))}]\n")
+            f.write("rectification_matrix:\n  rows: 3\n  cols: 3\n")
+            f.write(f"  data: [{', '.join(map(str, cam.R))}]\n")
+            f.write("projection_matrix:\n  rows: 3\n  cols: 4\n")
+            f.write(f"  data: [{', '.join(map(str, cam.P))}]\n")
+        print(f"wrote calib -> {args.calib_out}")
+
+
+def _cmd_synth(args):
+    from . import io as eio
+    from . import synth
+
+    rng = np.random.default_rng(args.seed)
+    sensor = synth.default_sensor(args.sensor, args.sensor, f=args.sensor * 0.9)
+    # Sharp texture keeps inter-event displacements small — the regime the
+    # LEGM linearization is accurate in (see .claude/skills/verify/SKILL.md).
+    B = synth.smooth_random_map(
+        args.pano_height, 2 * args.pano_height, rng, smooth=args.texture_smooth,
+        amp=args.texture_amp,
+    )
+    scene = synth.generate(
+        rng,
+        sensor,
+        pano_width=2 * args.pano_height,
+        pano_height=args.pano_height,
+        c_th=args.c_th,
+        t_end=args.duration,
+        dt_knots=0.05,
+        num_steps=args.steps,
+        motion_amp=args.motion,
+        brightness=B,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    eio.save_events_npz(
+        os.path.join(args.out, "events.npz"), scene.t, scene.x, scene.y, scene.pol
+    )
+    eio.save_map_bin(
+        os.path.join(args.out, "Gx.bin"), os.path.join(args.out, "Gy.bin"),
+        scene.gx, scene.gy,
+    )
+    tt = np.linspace(0.0, args.duration - 1e-6, 400)
+    R = np.asarray(scene.traj.evaluate(tt))
+    eio.save_tum_trajectory(os.path.join(args.out, "traj_gt.txt"), tt, R)
+    with open(os.path.join(args.out, "calib.yaml"), "w") as f:
+        f.write(
+            f"image_width: {sensor.width}\nimage_height: {sensor.height}\n"
+            "camera_matrix:\n  rows: 3\n  cols: 3\n"
+            f"  data: [{', '.join(map(str, sensor.K.ravel()))}]\n"
+            "distortion_model: plumb_bob\n"
+            "distortion_coefficients:\n  rows: 1\n  cols: 5\n"
+            "  data: [0, 0, 0, 0, 0]\n"
+        )
+    print(f"wrote {len(scene.t)} events + GT to {args.out}")
+
+
+def _cmd_eval(args):
+    from . import io as eio
+    from . import metrics, spline
+
+    t_est, r_est = eio.load_tum_trajectory(args.traj)
+    t_gt, r_gt = eio.load_tum_trajectory(args.gt)
+    # interpolate GT at estimate times (clipped to the GT span)
+    m = (t_est >= t_gt[0]) & (t_est <= t_gt[-1])
+    t_q = t_est[m]
+    import jax.numpy as jnp
+
+    from . import lie
+
+    idx = np.clip(np.searchsorted(t_gt, t_q) - 1, 0, len(t_gt) - 2)
+    a = (t_q - t_gt[idx]) / np.maximum(t_gt[idx + 1] - t_gt[idx], 1e-12)
+    r_interp = np.asarray(
+        lie.slerp(jnp.asarray(r_gt[idx]), jnp.asarray(r_gt[idx + 1]), jnp.asarray(a))
+    )
+    rmse = metrics.rotation_rmse_deg(r_est[m], r_interp, align=not args.no_align)
+    print(json.dumps({"rotation_rmse_deg": rmse, "num_poses": int(m.sum())}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="emba-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run EMBA on a sequence")
+    r.add_argument("--preset", help="sequence preset (e.g. bicycle, playroom)")
+    r.add_argument("--events", required=True, help="events .npz or .bag")
+    r.add_argument("--poses", required=True, help="front-end TUM trajectory txt")
+    r.add_argument("--map-gx")
+    r.add_argument("--map-gy")
+    r.add_argument("--calib", help="camera calibration YAML")
+    r.add_argument("--events-topic", default="/dvs/events")
+    r.add_argument("--camera-info-topic", default="/dvs/camera_info")
+    r.add_argument("--out", help="result directory")
+    r.add_argument("--record-maps", action="store_true")
+    r.add_argument("--resume", help="checkpoint.npz to resume from")
+    r.add_argument("--start-time", dest="start_time", type=float)
+    r.add_argument("--stop-time", dest="stop_time", type=float)
+    r.add_argument("--c-th", dest="c_th", type=float)
+    r.add_argument("--alpha", type=float)
+    r.add_argument("--dt-knots", dest="dt_knots", type=float)
+    r.add_argument("--max-num-iter", dest="max_num_iter", type=int)
+    r.add_argument("--event-sampling-rate", dest="event_sampling_rate", type=int)
+    r.add_argument("--pano-height", dest="pano_height", type=int)
+    r.add_argument("--dtype", choices=["float32", "float64"])
+    r.add_argument("--outlier-dp", dest="outlier_dp_norm", type=float)
+    r.add_argument("--thres-valid-pixel", dest="thres_valid_pixel", type=int)
+    r.add_argument("--use-cg", action="store_true")
+    r.add_argument("--irls", choices=["huber", "cauchy"])
+    r.add_argument("--spline-order", dest="spline_order", type=int, choices=[2, 4])
+    r.set_defaults(fn=_cmd_run)
+
+    c = sub.add_parser("convert-bag", help="rosbag -> events.npz")
+    c.add_argument("--bag", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--events-topic", default="/dvs/events")
+    c.add_argument("--camera-info-topic", default="/dvs/camera_info")
+    c.add_argument("--calib-out")
+    c.set_defaults(fn=_cmd_convert_bag)
+
+    s = sub.add_parser("synth", help="generate a synthetic dataset")
+    s.add_argument("--out", required=True)
+    s.add_argument("--sensor", type=int, default=64)
+    s.add_argument("--pano-height", dest="pano_height", type=int, default=128)
+    s.add_argument("--c-th", dest="c_th", type=float, default=0.1)
+    s.add_argument("--duration", type=float, default=1.0)
+    s.add_argument("--steps", type=int, default=600)
+    s.add_argument("--motion", type=float, default=0.25)
+    s.add_argument("--texture-smooth", dest="texture_smooth", type=int, default=3)
+    s.add_argument("--texture-amp", dest="texture_amp", type=float, default=3.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=_cmd_synth)
+
+    e = sub.add_parser("eval", help="rotation RMSE vs ground truth")
+    e.add_argument("--traj", required=True)
+    e.add_argument("--gt", required=True)
+    e.add_argument("--no-align", action="store_true")
+    e.set_defaults(fn=_cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

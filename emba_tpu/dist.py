@@ -51,36 +51,41 @@ def init_multihost(coordinator: str | None = None, **kw) -> None:
 def pad_window(win_dev: M.DeviceWindow, multiple: int) -> M.DeviceWindow:
     """Pad event arrays to a multiple of the event-shard count. Padded events
     are masked out via ``has_prev=False`` (they produce no measurements)."""
-    n = win_dev.bearings.shape[0]
+    n = win_dev.pol_signed.shape[0]
     pad = (-n) % multiple
     if pad == 0:
         return win_dev
 
     def pad_arr(a, value=0):
-        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
         return jnp.pad(a, widths, constant_values=value)
 
     return M.DeviceWindow(
-        bearings=pad_arr(win_dev.bearings).at[n:, 2].set(1.0),
+        bearings=pad_arr(win_dev.bearings).at[2, n:].set(1.0),
         pol_signed=pad_arr(win_dev.pol_signed),
         prev_idx=pad_arr(win_dev.prev_idx),
         has_prev=pad_arr(win_dev.has_prev, value=False),
-        s=pad_arr(win_dev.s),
-        u=pad_arr(win_dev.u),
+        batch_ids=pad_arr(win_dev.batch_ids),  # padded events -> batch 0
+        batch_s=win_dev.batch_s,
+        batch_u=win_dev.batch_u,
     )
 
 
 def shard_window(win_dev: M.DeviceWindow, mesh: Mesh) -> M.DeviceWindow:
-    """Place the window on the mesh: event arrays sharded over ``ev``."""
+    """Place the window on the mesh: per-event arrays sharded over ``ev``
+    (the event axis is the LAST axis of every field); the small per-batch
+    pose tables replicated."""
     win_dev = pad_window(win_dev, mesh.shape["ev"])
     ev = NamedSharding(mesh, P("ev"))
+    rep = NamedSharding(mesh, P())
     return M.DeviceWindow(
-        bearings=jax.device_put(win_dev.bearings, NamedSharding(mesh, P("ev", None))),
+        bearings=jax.device_put(win_dev.bearings, NamedSharding(mesh, P(None, "ev"))),
         pol_signed=jax.device_put(win_dev.pol_signed, ev),
         prev_idx=jax.device_put(win_dev.prev_idx, ev),
         has_prev=jax.device_put(win_dev.has_prev, ev),
-        s=jax.device_put(win_dev.s, ev),
-        u=jax.device_put(win_dev.u, ev),
+        batch_ids=jax.device_put(win_dev.batch_ids, ev),
+        batch_s=jax.device_put(win_dev.batch_s, rep),
+        batch_u=jax.device_put(win_dev.batch_u, rep),
     )
 
 
@@ -92,7 +97,8 @@ def replicate(mesh: Mesh, *arrays):
 
 
 def _constrain(mesh: Mesh, lin: M.Linearization) -> M.Linearization:
-    """Keep per-measurement arrays sharded over the event axis."""
+    """Keep per-measurement arrays sharded over the event axis (which is the
+    LAST axis of every per-event field)."""
     ev = NamedSharding(mesh, P("ev"))
 
     def c(a, spec=None):
@@ -105,9 +111,10 @@ def _constrain(mesh: Mesh, lin: M.Linearization) -> M.Linearization:
         inlier=c(lin.inlier),
         pm_pix=c(lin.pm_pix),
         num_ev_map=c(lin.num_ev_map, P()),
-        d=c(lin.d, P("ev", None)),
-        Jc=c(lin.Jc, P("ev", None)),
-        Jp=c(lin.Jp, P("ev", None)),
+        dx=c(lin.dx),
+        dy=c(lin.dy),
+        Jc=c(lin.Jc, P(None, "ev")),
+        Jp=c(lin.Jp, P(None, "ev")),
         i_c=c(lin.i_c),
         i_p=c(lin.i_p),
     )
@@ -115,7 +122,8 @@ def _constrain(mesh: Mesh, lin: M.Linearization) -> M.Linearization:
 
 def _constrain_neq(mesh: Mesh, neq: M.NormalEq) -> M.NormalEq:
     """Shard the map-domain normal-equation blocks over ``tile``; pose blocks
-    replicated (they are tiny)."""
+    replicated (they are tiny). A12 is left to XLA's choice (its flat layout
+    interleaves pose and pixel dims)."""
 
     def c(a, spec):
         return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
@@ -123,9 +131,12 @@ def _constrain_neq(mesh: Mesh, neq: M.NormalEq) -> M.NormalEq:
     return M.NormalEq(
         A11=c(neq.A11, P()),
         b1=c(neq.b1, P()),
-        A22=c(neq.A22, P("tile", None)),
-        b2=c(neq.b2, P("tile", None)),
-        A12=c(neq.A12, P("tile", None, None)),
+        a22_xx=c(neq.a22_xx, P("tile")),
+        a22_xy=c(neq.a22_xy, P("tile")),
+        a22_yy=c(neq.a22_yy, P("tile")),
+        b2_x=c(neq.b2_x, P("tile")),
+        b2_y=c(neq.b2_y, P("tile")),
+        A12=neq.A12,
         active=c(neq.active, P("tile")),
     )
 

@@ -14,13 +14,20 @@ Reference semantics re-derived from ``src/emba/model.cpp``:
   with Huber/Cauchy weights (``model.cpp:493-687``); L2 map regularizer
   (``model.cpp:689-719``).
 
-TPU-first design (SURVEY.md §7): the reference's three per-event hot loops
-become dense batched array ops over static shapes; the dynamic
-active/inactive pixel sets become masks; every per-measurement scatter is a
-segment-sum over precomputed indices; A11 is assembled from per-segment
-block segment-sums (the spline locality: one measurement touches knot
-windows [i_c, i_c+order) and [i_p, i_p+order)); A22 inversion is a batched
-closed-form 2x2 inverse.
+TPU-first design (SURVEY.md §7 + hardware layout rules):
+
+* every per-event array is 1-D ``(N,)`` or transposed ``(small, N)`` — XLA
+  TPU tiles the last two dims to (8, 128), so ``(N, 6)``-style layouts would
+  pad 21x in memory (this OOM'd a 4M-event problem at 19 GB),
+* the reference's three per-event hot loops become dense batched array ops
+  over static shapes; dynamic active-pixel sets become masks,
+* A11/b1 are built by a ``lax.scan`` over measurement chunks: each chunk
+  expands its measurement rows into a dense (chunk, 3K) matrix via one-hot
+  knot placement (pure VPU broadcast) and accumulates ``rows^T W rows`` on
+  the MXU — no scatters on the pose block,
+* A22/b2 are 1-D per-pixel segment sums; A12 is a flat 1-D scatter in
+  ``(3K, 2, HW)``-flattened index space, so the Schur reduction and
+  back-substitution are plain 2-D GEMMs over even/odd column planes.
 """
 
 from __future__ import annotations
@@ -34,6 +41,9 @@ import numpy as np
 
 from . import warp
 from .camera import EquirectangularCamera
+
+# Measurement-chunk size for the normal-equation scan (static).
+CHUNK = 1 << 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,7 +91,6 @@ def sobel_gradients(G):
     Separable: d/dx = smooth_y([1,2,1]) * diff_x([-1,0,1]) / 8.
     """
     P = _reflect_pad(G)
-    # smooth along y then diff along x
     sy = P[:-2, :] + 2.0 * P[1:-1, :] + P[2:, :]  # (H, W+2)
     gx = (sy[:, 2:] - sy[:, :-2]) * 0.125
     sx = P[:, :-2] + 2.0 * P[:, 1:-1] + P[:, 2:]  # (H+2, W)
@@ -105,26 +114,28 @@ def second_order_gradients(Gx, Gy):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceWindow:
-    """Static per-window event data resident on device (all jnp arrays)."""
+    """Static per-window event data resident on device (all jnp arrays,
+    layouts chosen for TPU tiling: 1-D per-event vectors, (3, N) bearings)."""
 
-    bearings: jax.Array  # (N, 3) per-event unit bearing vectors
+    bearings: jax.Array  # (3, N) per-event unit bearing vectors
     pol_signed: jax.Array  # (N,) +-1 * 1.0 (curr-event polarity sign)
     prev_idx: jax.Array  # (N,) int32, clipped to >= 0
     has_prev: jax.Array  # (N,) bool
-    s: jax.Array  # (N,) int32 spline segment (shared within a batch)
-    u: jax.Array  # (N,) normalized offset (batch mid-time)
+    batch_ids: jax.Array  # (N,) int32 event -> pose batch
+    batch_s: jax.Array  # (NB,) int32 spline segment per batch
+    batch_u: jax.Array  # (NB,) normalized offset per batch (mid-time)
 
     @classmethod
     def from_window(cls, win, bearing_lut: np.ndarray, sensor_width: int, dtype):
         b = bearing_lut[win.sensor_flat_idx(sensor_width)]
-        ids = win.batch_ids()
         return cls(
-            bearings=jnp.asarray(b, dtype),
+            bearings=jnp.asarray(np.ascontiguousarray(b.T), dtype),
             pol_signed=jnp.asarray(2.0 * (win.pol.astype(np.float64) - 0.5), dtype),
             prev_idx=jnp.asarray(np.maximum(win.prev_idx, 0), jnp.int32),
             has_prev=jnp.asarray(win.prev_idx >= 0),
-            s=jnp.asarray(win.batch_s[ids], jnp.int32),
-            u=jnp.asarray(win.batch_u[ids], dtype),
+            batch_ids=jnp.asarray(win.batch_ids(), jnp.int32),
+            batch_s=jnp.asarray(win.batch_s, jnp.int32),
+            batch_u=jnp.asarray(win.batch_u, dtype),
         )
 
 
@@ -135,15 +146,17 @@ class Linearization:
 
     The measurement k is the event pair (prev_idx[k], k); entries of
     non-measurements (first event at a pixel, outliers) are masked to zero.
+    All fields are (N,) or (small, N) — TPU-friendly layouts.
     """
 
     e: jax.Array  # (N,) residuals (0 for non-inliers)
     inlier: jax.Array  # (N,) bool
     pm_pix: jax.Array  # (N,) int32 flat pano pixel of curr event
     num_ev_map: jax.Array  # (HW,) int32 inlier count per pano pixel
-    d: jax.Array  # (N, 2) dM/dG = dp
-    Jc: jax.Array  # (N, D) pose Jacobian, curr half
-    Jp: jax.Array  # (N, D) pose Jacobian, prev half
+    dx: jax.Array  # (N,) dM/dGx = dp_x
+    dy: jax.Array  # (N,) dM/dGy = dp_y
+    Jc: jax.Array  # (D, N) pose Jacobian, curr half
+    Jp: jax.Array  # (D, N) pose Jacobian, prev half
     i_c: jax.Array  # (N,) int32 segment of curr event
     i_p: jax.Array  # (N,) int32 segment of prev event
 
@@ -155,28 +168,30 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     pano = cfg.pano
     pm, cp_idx, dpm_dcp = warp.warp_events(
         knots,
-        dev.s,
-        dev.u,
+        dev.batch_s,
+        dev.batch_u,
+        dev.batch_ids,
         dev.bearings,
         pano,
         cfg.spline_order,
         need_jacobian=need_deriv,
     )
+    pmx, pmy = pm  # (N,), (N,)
 
-    pm_prev = pm[dev.prev_idx]
-    dp = pm - pm_prev
-    dp_norm2 = jnp.sum(dp * dp, axis=-1)
+    dx = pmx - pmx[dev.prev_idx]
+    dy = pmy - pmy[dev.prev_idx]
+    dp_norm2 = dx * dx + dy * dy
     inlier = dev.has_prev & (dp_norm2 <= cfg.outlier_dp_norm**2)
 
     # Nearest pano pixel of the curr event (std::round = half away from zero;
     # pm >= 0 here so floor(pm + 0.5) matches; reference model.cpp:209-211).
-    px = jnp.clip(jnp.floor(pm[:, 0] + 0.5).astype(jnp.int32), 0, cfg.pano_width - 1)
-    py = jnp.clip(jnp.floor(pm[:, 1] + 0.5).astype(jnp.int32), 0, cfg.pano_height - 1)
+    px = jnp.clip(jnp.floor(pmx + 0.5).astype(jnp.int32), 0, cfg.pano_width - 1)
+    py = jnp.clip(jnp.floor(pmy + 0.5).astype(jnp.int32), 0, cfg.pano_height - 1)
     pm_pix = py * cfg.pano_width + px
 
     gx = Gx.reshape(-1)[pm_pix]
     gy = Gy.reshape(-1)[pm_pix]
-    c_pred = gx * dp[:, 0] + gy * dp[:, 1]
+    c_pred = gx * dx + gy * dy
     c_meas = dev.pol_signed * cfg.c_th
     e = jnp.where(inlier, c_meas - c_pred, 0.0)
 
@@ -185,13 +200,14 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     )
 
     if not need_deriv:
-        zeros_d = jnp.zeros((pm.shape[0], cfg.dim_block), pm.dtype)
+        zeros_d = jnp.zeros((cfg.dim_block, pmx.shape[0]), pmx.dtype)
         return Linearization(
             e=e,
             inlier=inlier,
             pm_pix=pm_pix,
             num_ev_map=num_ev_map,
-            d=dp,
+            dx=dx,
+            dy=dy,
             Jc=zeros_d,
             Jp=zeros_d,
             i_c=cp_idx,
@@ -203,20 +219,21 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     gxy = gxy_m.reshape(-1)[pm_pix]
     gyy = gyy_m.reshape(-1)[pm_pix]
     # temp = Gpm + dp^T G2pm  (1x2; reference model.cpp:238)
-    tx = gx + dp[:, 0] * gxx + dp[:, 1] * gxy
-    ty = gy + dp[:, 0] * gxy + dp[:, 1] * gyy
+    tx = gx + dx * gxx + dy * gxy
+    ty = gy + dx * gxy + dy * gyy
 
-    # Jc = temp . dpm_dcp(curr) ; Jp = -Gpm . dpm_dcp(prev)
-    Jc = tx[:, None] * dpm_dcp[:, 0, :] + ty[:, None] * dpm_dcp[:, 1, :]
-    dpm_dcp_prev = dpm_dcp[dev.prev_idx]
-    Jp = -(gx[:, None] * dpm_dcp_prev[:, 0, :] + gy[:, None] * dpm_dcp_prev[:, 1, :])
+    # dpm_dcp: (2, D, N). Jc = temp . dpm_dcp(curr); Jp = -Gpm . dpm_dcp(prev)
+    Jc = tx[None, :] * dpm_dcp[0] + ty[None, :] * dpm_dcp[1]  # (D, N)
+    dpm_prev = dpm_dcp[:, :, dev.prev_idx]  # (2, D, N) column gather
+    Jp = -(gx[None, :] * dpm_prev[0] + gy[None, :] * dpm_prev[1])
 
     return Linearization(
         e=e,
         inlier=inlier,
         pm_pix=pm_pix,
         num_ev_map=num_ev_map,
-        d=dp,
+        dx=dx,
+        dy=dy,
         Jc=Jc,
         Jp=Jp,
         i_c=cp_idx,
@@ -265,19 +282,27 @@ def irls_weights(e, cfg: ModelConfig):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NormalEq:
+    """Schur-structured normal equations.
+
+    A12 is stored flat in ``(3K, 2, HW)`` row-major index space
+    (``idx = (3*seg + j) * 2HW + plane * HW + pixel``), so that
+    ``A12.reshape(3K, 2, HW)[:, 0]`` / ``[:, 1]`` are the Gx / Gy column
+    planes — clean 2-D GEMM operands for the Schur reduction.
+    """
+
     A11: jax.Array  # (3K, 3K)
     b1: jax.Array  # (3K,)
-    A22: jax.Array  # (HW, 3): xx, xy, yy per pano pixel (0 where inactive)
-    b2: jax.Array  # (HW, 2)
-    A12: jax.Array  # (HW, 2, 3K) pose-map coupling (0 where inactive)
+    a22_xx: jax.Array  # (HW,)
+    a22_xy: jax.Array  # (HW,)
+    a22_yy: jax.Array  # (HW,)
+    b2_x: jax.Array  # (HW,)
+    b2_y: jax.Array  # (HW,)
+    A12: jax.Array  # (3K * 2 * HW,) flat
     active: jax.Array  # (HW,) bool
 
 
-def _place_blocks(A, blocks, row_seg, col_seg, d):
-    """Scatter-add (M, d, d) blocks into A at (3*row_seg, 3*col_seg)."""
-    r = 3 * row_seg[:, None, None] + jnp.arange(d)[None, :, None]
-    c = 3 * col_seg[:, None, None] + jnp.arange(d)[None, None, :]
-    return A.at[r, c].add(blocks)
+def _pad_to_chunks(x, n_pad, value=0):
+    return jnp.pad(x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1), constant_values=value)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_knots"))
@@ -286,15 +311,18 @@ def form_normal_eq(
 ) -> NormalEq:
     """Build the Schur-structured normal equations (reference
     ``formNormalEq``/``formNormalEqIRLS`` model.cpp:316-687 + ``applyL2Reg``
-    model.cpp:689-719), as segment-sums over static shapes.
+    model.cpp:689-719).
 
     Masking replaces the reference's dynamic active-pixel sets: a measurement
     enters iff it is an inlier AND its curr event lands on an active pixel
-    (>= thres_valid_pixel inliers, model.cpp:407-411)."""
+    (>= thres_valid_pixel inliers, model.cpp:407-411).
+    """
     dt = lin.e.dtype
     d = cfg.dim_block
-    nseg = num_knots - cfg.spline_order + 1
+    order = cfg.spline_order
     dim_pose = 3 * num_knots
+    hw = cfg.num_pix
+    n = lin.e.shape[0]
 
     active = lin.num_ev_map >= cfg.thres_valid_pixel
     w = lin.inlier & active[lin.pm_pix]
@@ -302,71 +330,107 @@ def form_normal_eq(
     wA = jnp.where(w, yi, 0.0).astype(dt)  # weight for LHS terms
     we = wA * lin.e  # reweighted residual for RHS terms
 
-    Jc, Jp = lin.Jc, lin.Jp
-    i_c, i_p = lin.i_c, lin.i_p
+    # ---- chunked scan over measurements ------------------------------------
+    n_chunks = -(-n // CHUNK)
+    pad = n_chunks * CHUNK - n
+    # chunk views: (n_chunks, CHUNK) / (n_chunks, D, CHUNK)
+    wA_c = _pad_to_chunks(wA, pad).reshape(n_chunks, CHUNK)
+    we_c = _pad_to_chunks(we, pad).reshape(n_chunks, CHUNK)
+    dx_c = _pad_to_chunks(lin.dx, pad).reshape(n_chunks, CHUNK)
+    dy_c = _pad_to_chunks(lin.dy, pad).reshape(n_chunks, CHUNK)
+    pix_c = _pad_to_chunks(lin.pm_pix, pad).reshape(n_chunks, CHUNK)
+    ic_c = _pad_to_chunks(lin.i_c, pad).reshape(n_chunks, CHUNK)
+    ip_c = _pad_to_chunks(lin.i_p, pad).reshape(n_chunks, CHUNK)
+    Jc_c = jnp.pad(lin.Jc, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK)
+    Jp_c = jnp.pad(lin.Jp, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK)
+    Jc_c = jnp.moveaxis(Jc_c, 1, 0)  # (n_chunks, D, CHUNK)
+    Jp_c = jnp.moveaxis(Jp_c, 1, 0)
 
-    # ---- A11: per-segment block segment-sums ------------------------------
-    cc = jax.ops.segment_sum(
-        wA[:, None, None] * (Jc[:, :, None] * Jc[:, None, :]),
-        i_c,
-        num_segments=nseg,
-        indices_are_sorted=True,
+    def chunk_body(carry, inp):
+        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12 = carry
+        wAk, wek, dxk, dyk, pixk, ick, ipk, Jck, Jpk = inp
+
+        # rows: (CHUNK, 3K) measurement rows by one-hot knot placement of the
+        # curr/prev half-Jacobians. Built directly in 2-D (a (CHUNK, K, 3)
+        # intermediate would tile-pad 3 -> 128); the sum of broadcast
+        # compares fuses into a single VPU loop.
+        knot_of_col = jnp.arange(dim_pose, dtype=jnp.int32) // 3  # (3K,)
+        comp_of_col = jnp.arange(dim_pose, dtype=jnp.int32) % 3
+        rows = jnp.zeros((CHUNK, dim_pose), dt)
+        for j in range(order):
+            for comp in range(3):
+                colmask_base = comp_of_col[None, :] == comp
+                oc = colmask_base & (knot_of_col[None, :] == ick[:, None] + j)
+                op = colmask_base & (knot_of_col[None, :] == ipk[:, None] + j)
+                rows = rows + oc.astype(dt) * Jck[3 * j + comp][:, None]
+                rows = rows + op.astype(dt) * Jpk[3 * j + comp][:, None]
+
+        # A11 += rows^T diag(wA) rows; b1 += rows^T (wA e)   (MXU)
+        wrows = rows * wAk[:, None]
+        A11 = A11 + jnp.dot(rows.T, wrows, preferred_element_type=dt)
+        b1 = b1 + rows.T @ wek
+
+        # A22 / b2: 1-D per-pixel scatter adds.
+        a22xx = a22xx.at[pixk].add(wAk * dxk * dxk, mode="drop")
+        a22xy = a22xy.at[pixk].add(wAk * dxk * dyk, mode="drop")
+        a22yy = a22yy.at[pixk].add(wAk * dyk * dyk, mode="drop")
+        b2x = b2x.at[pixk].add(wek * dxk, mode="drop")
+        b2y = b2y.at[pixk].add(wek * dyk, mode="drop")
+
+        # A12: one fused flat scatter in (3K, 2, HW) index space. Per
+        # measurement: 2 halves (curr/prev knot windows) x D rows x 2 planes.
+        # idx/vals built in (2*D*2, CHUNK) layout (event axis last).
+        idx_list = []
+        val_list = []
+        for seg, Jh in ((ick, Jck), (ipk, Jpk)):
+            base = 3 * seg  # (CHUNK,)
+            for j in range(d):
+                col = (base + j) * (2 * hw)
+                idx_list.append(col + pixk)
+                val_list.append(wAk * Jh[j] * dxk)
+                idx_list.append(col + hw + pixk)
+                val_list.append(wAk * Jh[j] * dyk)
+        idx = jnp.stack(idx_list).reshape(-1)
+        vals = jnp.stack(val_list).reshape(-1)
+        A12 = A12.at[idx].add(vals, mode="drop")
+
+        return (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), None
+
+    carry0 = (
+        jnp.zeros((dim_pose, dim_pose), dt),
+        jnp.zeros((dim_pose,), dt),
+        jnp.zeros((hw,), dt),
+        jnp.zeros((hw,), dt),
+        jnp.zeros((hw,), dt),
+        jnp.zeros((hw,), dt),
+        jnp.zeros((hw,), dt),
+        jnp.zeros((dim_pose * 2 * hw,), dt),
     )
-    pp = jax.ops.segment_sum(
-        wA[:, None, None] * (Jp[:, :, None] * Jp[:, None, :]),
-        i_p,
-        num_segments=nseg,
+    (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), _ = jax.lax.scan(
+        chunk_body,
+        carry0,
+        (wA_c, we_c, dx_c, dy_c, pix_c, ic_c, ip_c, Jc_c, Jp_c),
     )
-    cross = jax.ops.segment_sum(
-        wA[:, None, None] * (Jc[:, :, None] * Jp[:, None, :]),
-        i_c * nseg + i_p,
-        num_segments=nseg * nseg,
-    )
-    A11 = jnp.zeros((dim_pose, dim_pose), dt)
-    segs = jnp.arange(nseg, dtype=jnp.int32)
-    A11 = _place_blocks(A11, cc, segs, segs, d)
-    A11 = _place_blocks(A11, pp, segs, segs, d)
-    keys_c = jnp.repeat(segs, nseg)
-    keys_p = jnp.tile(segs, nseg)
-    A11 = _place_blocks(A11, cross, keys_c, keys_p, d)
-    A11 = _place_blocks(A11, jnp.swapaxes(cross, -1, -2), keys_p, keys_c, d)
 
-    # ---- b1 ---------------------------------------------------------------
-    b1c = jax.ops.segment_sum(
-        we[:, None] * Jc, i_c, num_segments=nseg, indices_are_sorted=True
-    )
-    b1p = jax.ops.segment_sum(we[:, None] * Jp, i_p, num_segments=nseg)
-    b1 = jnp.zeros((dim_pose,), dt)
-    cols = 3 * segs[:, None] + jnp.arange(d)[None, :]
-    b1 = b1.at[cols].add(b1c)
-    b1 = b1.at[cols].add(b1p)
-
-    # ---- A22 (2x2 blocks as xx, xy, yy), b2 -------------------------------
-    dx, dy = lin.d[:, 0], lin.d[:, 1]
-    a22_vals = jnp.stack([wA * dx * dx, wA * dx * dy, wA * dy * dy], axis=-1)
-    A22 = jax.ops.segment_sum(a22_vals, lin.pm_pix, num_segments=cfg.num_pix)
-    b2_vals = jnp.stack([we * dx, we * dy], axis=-1)
-    b2 = jax.ops.segment_sum(b2_vals, lin.pm_pix, num_segments=cfg.num_pix)
-
-    # ---- A12: (HW, 2, 3K) scatter of compact (D, 2) half-blocks -----------
-    A12 = jnp.zeros((cfg.num_pix, 2, dim_pose), dt)
-    col_c = 3 * i_c[:, None] + jnp.arange(d)[None, :]  # (N, D)
-    col_p = 3 * i_p[:, None] + jnp.arange(d)[None, :]
-    two = jnp.arange(2)[None, :, None]
-    vals_c = (wA[:, None] * lin.d)[:, :, None] * Jc[:, None, :]  # (N, 2, D)
-    vals_p = (wA[:, None] * lin.d)[:, :, None] * Jp[:, None, :]
-    A12 = A12.at[lin.pm_pix[:, None, None], two, col_c[:, None, :]].add(vals_c)
-    A12 = A12.at[lin.pm_pix[:, None, None], two, col_p[:, None, :]].add(vals_p)
-
-    # ---- L2 map regularizer (active pixels only) --------------------------
+    # ---- L2 map regularizer (active pixels only) ---------------------------
     alpha = jnp.asarray(cfg.alpha, dt)
     act_f = active.astype(dt)
-    A22 = A22.at[:, 0].add(alpha * act_f)
-    A22 = A22.at[:, 2].add(alpha * act_f)
-    g_flat = jnp.stack([Gx.reshape(-1), Gy.reshape(-1)], axis=-1)
-    b2 = b2 - alpha * act_f[:, None] * g_flat
+    a22xx = a22xx + alpha * act_f
+    a22yy = a22yy + alpha * act_f
+    b2x = b2x - alpha * act_f * Gx.reshape(-1)
+    b2y = b2y - alpha * act_f * Gy.reshape(-1)
 
-    return NormalEq(A11=A11, b1=b1, A22=A22, b2=b2, A12=A12, active=active)
+    return NormalEq(
+        A11=A11,
+        b1=b1,
+        a22_xx=a22xx,
+        a22_xy=a22xy,
+        a22_yy=a22yy,
+        b2_x=b2x,
+        b2_y=b2y,
+        A12=A12,
+        active=active,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -374,35 +438,19 @@ def form_normal_eq(
 # ---------------------------------------------------------------------------
 
 
-def _damped_a22_inv(A22, active, lam):
+def _damped_a22_inv(neq: NormalEq, lam):
     """Per-pixel inverse of the LM-damped 2x2 blocks; zero where inactive
     (inactive pixels are excluded from the system, matching the reference's
     compaction). A22m = A22 + lam * diag(A22) (model.cpp:747-750)."""
-    dt = A22.dtype
-    a = A22[:, 0] * (1.0 + lam)
-    b = A22[:, 1]
-    c = A22[:, 2] * (1.0 + lam)
+    dt = neq.a22_xx.dtype
+    a = neq.a22_xx * (1.0 + lam)
+    b = neq.a22_xy
+    c = neq.a22_yy * (1.0 + lam)
     det = a * c - b * b
     det_safe = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
-    inv = jnp.stack([c, -b, a], axis=-1) / det_safe[:, None]
-    mask = (active & (jnp.abs(det) >= 1e-30)).astype(dt)[:, None]
-    return inv * mask  # (HW, 3): m00, m01, m11
-
-
-def _a22inv_apply(inv, v):
-    """Apply per-pixel symmetric 2x2 (stored xx, xy, yy) to (HW, 2, ...)."""
-    m00, m01, m11 = inv[:, 0], inv[:, 1], inv[:, 2]
-    if v.ndim == 2:
-        return jnp.stack(
-            [m00 * v[:, 0] + m01 * v[:, 1], m01 * v[:, 0] + m11 * v[:, 1]], axis=1
-        )
-    return jnp.stack(
-        [
-            m00[:, None] * v[:, 0] + m01[:, None] * v[:, 1],
-            m01[:, None] * v[:, 0] + m11[:, None] * v[:, 1],
-        ],
-        axis=1,
-    )
+    mask = (neq.active & (jnp.abs(det) >= 1e-30)).astype(dt)
+    inv = mask / det_safe
+    return c * inv, -b * inv, a * inv  # m00, m01, m11 (each (HW,))
 
 
 @partial(jax.jit, static_argnames=("fix_first",))
@@ -410,7 +458,7 @@ def solve_normal_eq(neq: NormalEq, lam, fix_first: bool = False):
     """Schur-complement solve (reference model.cpp:721-792):
 
       A11m = A11 + lam diag(A11);  A22m^-1 per 2x2 block (batched);
-      S = A11m - A12 A22m^-1 A12^T  (one big MXU GEMM over pixel rows);
+      S = A11m - A12 A22m^-1 A12^T  (two MXU GEMMs over the column planes);
       x1 = chol_solve(S, b1 - A12 A22m^-1 b2);
       x2 = A22m^-1 (b2 - A12^T x1).
 
@@ -419,25 +467,31 @@ def solve_normal_eq(neq: NormalEq, lam, fix_first: bool = False):
     solver.cpp:156-165)."""
     dt = neq.b1.dtype
     dim = neq.b1.shape[0]
-    A11, b1, A12 = neq.A11, neq.b1, neq.A12
+    hw = neq.a22_xx.shape[0]
+    A11, b1 = neq.A11, neq.b1
+    A12 = neq.A12.reshape(dim, 2, hw)
+    Ae, Ao = A12[:, 0, :], A12[:, 1, :]  # (3K, HW) Gx / Gy column planes
     if fix_first:
         m = (jnp.arange(dim) >= 3).astype(dt)
         A11 = A11 * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         b1 = b1 * m
-        A12 = A12 * m[None, None, :]
+        Ae = Ae * m[:, None]
+        Ao = Ao * m[:, None]
 
     A11m = A11 + lam * jnp.diag(jnp.diag(A11))
-    inv = _damped_a22_inv(neq.A22, neq.active, lam)
+    m00, m01, m11 = _damped_a22_inv(neq, lam)
 
-    Z = _a22inv_apply(inv, A12)  # (HW, 2, 3K) = A22m^-1 A12
-    a12_flat = A12.reshape(-1, dim)  # (2 HW, 3K)
-    z_flat = Z.reshape(-1, dim)
-    S = A11m - jnp.dot(
-        a12_flat.T, z_flat, preferred_element_type=dt
-    )  # Schur complement
+    # Z = A22m^-1 applied to the A12 column planes.
+    Ze = Ae * m00[None, :] + Ao * m01[None, :]
+    Zo = Ae * m01[None, :] + Ao * m11[None, :]
+    S = A11m - (
+        jnp.dot(Ae, Ze.T, preferred_element_type=dt)
+        + jnp.dot(Ao, Zo.T, preferred_element_type=dt)
+    )
 
-    invb2 = _a22inv_apply(inv, neq.b2)  # (HW, 2)
-    rhs = b1 - a12_flat.T @ invb2.reshape(-1)
+    ib2x = m00 * neq.b2_x + m01 * neq.b2_y
+    ib2y = m01 * neq.b2_x + m11 * neq.b2_y
+    rhs = b1 - (Ae @ ib2x + Ao @ ib2y)
 
     # Keep S factorizable when some knots are unobserved (zero rows — e.g.
     # sparse windows): their b1 is zero, so with a tiny diagonal floor the
@@ -448,9 +502,11 @@ def solve_normal_eq(neq: NormalEq, lam, fix_first: bool = False):
     chol, lower = jax.scipy.linalg.cho_factor(S)
     x1 = jax.scipy.linalg.cho_solve((chol, lower), rhs)
 
-    a12t_x1 = (a12_flat @ x1).reshape(-1, 2)  # (HW, 2)
-    x2 = _a22inv_apply(inv, neq.b2 - a12t_x1)
-    return x1, x2
+    vx = neq.b2_x - Ae.T @ x1
+    vy = neq.b2_y - Ao.T @ x1
+    x2x = m00 * vx + m01 * vy
+    x2y = m01 * vx + m11 * vy
+    return x1, jnp.stack([x2x, x2y], axis=0)  # (3K,), (2, HW)
 
 
 @partial(jax.jit, static_argnames=("fix_first", "max_iter"))
@@ -465,64 +521,75 @@ def solve_normal_eq_cg(
     applied blockwise (dense GEMV for A11/A12, per-pixel 2x2 for A22)."""
     dt = neq.b1.dtype
     dim = neq.b1.shape[0]
-    A11, b1, A12 = neq.A11, neq.b1, neq.A12
+    hw = neq.a22_xx.shape[0]
+    A11, b1 = neq.A11, neq.b1
+    A12 = neq.A12.reshape(dim, 2, hw)
+    Ae, Ao = A12[:, 0, :], A12[:, 1, :]
     if fix_first:
         m = (jnp.arange(dim) >= 3).astype(dt)
         A11 = A11 * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         b1 = b1 * m
-        A12 = A12 * m[None, None, :]
+        Ae = Ae * m[:, None]
+        Ao = Ao * m[:, None]
 
     A11m = A11 + lam * jnp.diag(jnp.diag(A11))
-    a = neq.A22[:, 0] * (1.0 + lam)
-    b = neq.A22[:, 1]
-    c = neq.A22[:, 2] * (1.0 + lam)
+    axx = neq.a22_xx * (1.0 + lam)
+    axy = neq.a22_xy
+    ayy = neq.a22_yy * (1.0 + lam)
     act = neq.active.astype(dt)
-    a12_flat = A12.reshape(-1, dim)
 
-    def matvec(x1, x2):
-        # x2: (HW, 2). Inactive pixels: identity (keeps system nonsingular,
-        # their rhs is zero so their solution stays zero).
-        y1 = A11m @ x1 + a12_flat.T @ x2.reshape(-1)
-        a22x = jnp.stack(
-            [a * x2[:, 0] + b * x2[:, 1], b * x2[:, 0] + c * x2[:, 1]], axis=1
-        )
-        y2 = (a12_flat @ x1).reshape(-1, 2) + jnp.where(
-            neq.active[:, None], a22x, x2
-        )
-        return y1, y2
+    def matvec(x1, x2x, x2y):
+        y1 = A11m @ x1 + Ae @ x2x + Ao @ x2y
+        a22x = axx * x2x + axy * x2y
+        a22y = axy * x2x + ayy * x2y
+        # inactive pixels: identity row (their rhs is zero -> stay zero)
+        y2x = Ae.T @ x1 + jnp.where(neq.active, a22x, x2x)
+        y2y = Ao.T @ x1 + jnp.where(neq.active, a22y, x2y)
+        return y1, y2x, y2y
 
-    b2 = neq.b2 * act[:, None]
-    bnorm2 = jnp.sum(b1 * b1) + jnp.sum(b2 * b2)
+    b2x = neq.b2_x * act
+    b2y = neq.b2_y * act
+    bnorm2 = jnp.sum(b1 * b1) + jnp.sum(b2x * b2x) + jnp.sum(b2y * b2y)
 
     def body(state):
-        x1, x2, r1, r2, p1, p2, rs, it = state
-        ap1, ap2 = matvec(p1, p2)
-        alpha_ = rs / (jnp.sum(p1 * ap1) + jnp.sum(p2 * ap2) + 1e-300)
-        x1, x2 = x1 + alpha_ * p1, x2 + alpha_ * p2
-        r1, r2 = r1 - alpha_ * ap1, r2 - alpha_ * ap2
-        rs_new = jnp.sum(r1 * r1) + jnp.sum(r2 * r2)
+        x1, x2x, x2y, r1, r2x, r2y, p1, p2x, p2y, rs, it = state
+        ap1, ap2x, ap2y = matvec(p1, p2x, p2y)
+        denom = jnp.sum(p1 * ap1) + jnp.sum(p2x * ap2x) + jnp.sum(p2y * ap2y)
+        alpha_ = rs / (denom + 1e-300)
+        x1, x2x, x2y = x1 + alpha_ * p1, x2x + alpha_ * p2x, x2y + alpha_ * p2y
+        r1, r2x, r2y = r1 - alpha_ * ap1, r2x - alpha_ * ap2x, r2y - alpha_ * ap2y
+        rs_new = jnp.sum(r1 * r1) + jnp.sum(r2x * r2x) + jnp.sum(r2y * r2y)
         beta = rs_new / (rs + 1e-300)
-        return x1, x2, r1, r2, r1 + beta * p1, r2 + beta * p2, rs_new, it + 1
+        return (
+            x1, x2x, x2y, r1, r2x, r2y,
+            r1 + beta * p1, r2x + beta * p2x, r2y + beta * p2y, rs_new, it + 1,
+        )
 
     def cond(state):
         *_, rs, it = state
         return (it < max_iter) & (rs > tol * tol * bnorm2)
 
-    x1 = jnp.zeros_like(b1)
-    x2 = jnp.zeros_like(b2)
-    state = (x1, x2, b1, b2, b1, b2, bnorm2, jnp.asarray(0))
-    x1, x2, _, _, _, _, rs, it = jax.lax.while_loop(cond, body, state)
-    return x1, x2 * act[:, None], it, jnp.sqrt(rs / jnp.maximum(bnorm2, 1e-300))
+    z1 = jnp.zeros_like(b1)
+    zx = jnp.zeros_like(b2x)
+    state = (z1, zx, zx, b1, b2x, b2y, b1, b2x, b2y, bnorm2, jnp.asarray(0))
+    x1, x2x, x2y, *_, rs, it = jax.lax.while_loop(cond, body, state)
+    return (
+        x1,
+        jnp.stack([x2x * act, x2y * act], axis=0),
+        it,
+        jnp.sqrt(rs / jnp.maximum(bnorm2, 1e-300)),
+    )
 
 
 @jax.jit
 def update_map(Gx, Gy, x2, damping, active):
     """Apply the map increment: active pixels ``G += damping * x2``; inactive
-    pixels reset to zero (reference ``updateMap``, model.cpp:863-903)."""
+    pixels reset to zero (reference ``updateMap``, model.cpp:863-903).
+    ``x2``: (2, HW)."""
     shape = Gx.shape
     act = active.reshape(shape)
-    gx = jnp.where(act, Gx + damping * x2[:, 0].reshape(shape), 0.0)
-    gy = jnp.where(act, Gy + damping * x2[:, 1].reshape(shape), 0.0)
+    gx = jnp.where(act, Gx + damping * x2[0].reshape(shape), 0.0)
+    gy = jnp.where(act, Gy + damping * x2[1].reshape(shape), 0.0)
     return gx, gy
 
 

@@ -54,7 +54,13 @@ class EventWindow:
 
 def compute_prev_index(x: np.ndarray, y: np.ndarray, sensor_width: int) -> np.ndarray:
     """For each event, the index of the previous event at the same sensor
-    pixel (or -1). O(N); vectorized over a stable pixel sort."""
+    pixel (or -1). Native O(N) path when the C library is available
+    (emba_tpu/cpp/host_ops.cpp), else vectorized over a stable pixel sort."""
+    from . import native
+
+    nat = native.prev_index(x, y, sensor_width, int(np.max(y)) + 1 if len(y) else 1)
+    if nat is not None:
+        return nat
     n = len(x)
     pix = y.astype(np.int64) * sensor_width + x.astype(np.int64)
     order = np.argsort(pix, kind="stable")  # stable => time order kept per pixel

@@ -1,0 +1,345 @@
+"""Orchestration: data loading, sliding-window driver, artifact outputs.
+
+TPU-native replacement for the reference's ``EMBA`` orchestrator
+(``src/emba/emba.cpp``):
+
+* constructor duties (``emba.cpp:25-385``): config, output directories,
+  event loading + systematic subsampling, front-end pose loading, initial
+  map loading (or random init) + 3x3 median blur, model construction,
+* ``Run()`` (``emba.cpp:400-471``): the sliding-window loop — event subset,
+  pose-subset spline fitting, control-pose alignment/append, per-window LM
+  solve, segment commit, window slide (in the experiments the window covers
+  the whole BA span, so the loop runs once),
+* data recording (params.txt, iterations.txt, per-iteration map dumps,
+  refined TUM trajectory — ``solver.cpp:370-479``, ``emba.cpp:466-470``),
+* plus what the reference lacks (SURVEY.md §5): window-level checkpoint /
+  resume of the full BA state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import io as eio
+from . import metrics, model, pairing, recon, solver, spline
+from .camera import PinholeCamera
+from .config import BAConfig
+
+
+def median_blur_3x3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter with replicated borders (reference
+    ``emba.cpp:358-364`` uses cv::medianBlur on CV_32F)."""
+    p = np.pad(img.astype(np.float32), 1, mode="edge")
+    stack = np.stack(
+        [p[i : i + img.shape[0], j : j + img.shape[1]] for i in range(3) for j in range(3)]
+    )
+    return np.median(stack, axis=0).astype(np.float64)
+
+
+def systematic_subsample(t, x, y, pol, rate: int):
+    """Keep every ``rate``-th event (reference ``emba.cpp:282-304``)."""
+    if rate < 2:
+        return t, x, y, pol
+    idx = np.arange(rate - 1, len(t), rate)
+    return t[idx], x[idx], y[idx], pol[idx]
+
+
+@dataclasses.dataclass
+class RunResult:
+    trajectory: spline.Trajectory
+    gx: np.ndarray
+    gy: np.ndarray
+    window_stats: list
+    result_dir: str | None = None
+
+
+class EmbaPipeline:
+    """End-to-end EMBA run over an event stream."""
+
+    def __init__(
+        self,
+        cfg: BAConfig,
+        camera: PinholeCamera,
+        events: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+        pose_times: np.ndarray,
+        pose_rotations: np.ndarray,
+        init_gx: np.ndarray | None = None,
+        init_gy: np.ndarray | None = None,
+        result_dir: str | None = None,
+        record_data: bool = False,
+        record_maps: bool = False,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.camera = camera
+        self.record_data = record_data and result_dir is not None
+        self.record_maps = record_maps
+        self.result_dir = result_dir
+        self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+        t, x, y, pol = events
+        order = np.argsort(t, kind="stable")
+        t, x, y, pol = t[order], x[order], y[order], pol[order]
+        # BA interval cut (+ time offset already applied upstream)
+        t0 = cfg.start_time + cfg.time_offset
+        t1 = cfg.stop_time + cfg.time_offset
+        m = (t >= t0 + 1e-6) & (t <= t1)
+        t, x, y, pol = t[m], x[m], y[m], pol[m]
+        self.t, self.x, self.y, self.pol = systematic_subsample(
+            t, x, y, pol, cfg.event_sampling_rate
+        )
+
+        self.pose_times = np.asarray(pose_times, np.float64)
+        self.pose_rotations = np.asarray(pose_rotations, np.float64)
+
+        # Initial map (reference emba.cpp:333-364).
+        H, W = cfg.pano_height, cfg.pano_width
+        if init_gx is None:
+            rng = np.random.default_rng(seed)
+            if cfg.use_cg:
+                init_gx = np.zeros((H, W))
+                init_gy = np.zeros((H, W))
+            else:
+                init_gx = rng.normal(0.0, 0.1 * cfg.c_th, size=(H, W))
+                init_gy = rng.normal(0.0, 0.1 * cfg.c_th, size=(H, W))
+        else:
+            H, W = init_gx.shape
+            cfg.pano_height, cfg.pano_width = H, W
+        self.gx = median_blur_3x3(np.asarray(init_gx))
+        self.gy = median_blur_3x3(np.asarray(init_gy))
+
+        self.bearing_lut = camera.bearing_lut()
+
+        # Sliding-window state (reference emba.cpp:309-331).
+        self.t_ba_beg = t0
+        self.t_ba_end = t1
+        self.win_size = cfg.window_size
+        self.win_stride = cfg.sliding_window_stride
+        self.cp_stride = int(round(cfg.sliding_window_stride / cfg.dt_knots))
+        self.traj = spline.Trajectory.empty(t0, cfg.dt_knots, cfg.spline_order)
+
+        if self.record_data:
+            eio.ensure_dir(result_dir)
+            eio.ensure_dir(os.path.join(result_dir, "final_results"))
+            for d in ("Gx_evo", "Gy_evo", "G_hsv_evo", "map_poisson_evo", "map_opt"):
+                eio.ensure_dir(os.path.join(result_dir, d))
+            self._write_params()
+            self._iter_log = open(
+                os.path.join(result_dir, "final_results", "iterations.txt"), "w"
+            )
+        else:
+            self._iter_log = None
+
+    # -- recording ----------------------------------------------------------
+
+    def _write_params(self):
+        cfg = self.cfg
+        with open(os.path.join(self.result_dir, "params.txt"), "w") as f:
+            for k, v in dataclasses.asdict(cfg).items():
+                f.write(f"{k} = {v}\n")
+
+    def _save_maps(self, tag: str, win_id: int, it: int):
+        if not (self.record_data and self.record_maps):
+            return
+        gx, gy = np.asarray(self.gx), np.asarray(self.gy)
+        base = os.path.join(self.result_dir, tag)
+        pre = f"win_{win_id:04d}_"
+        eio.save_png(os.path.join(base, f"{pre}Gx_{it:04d}.png"), gx)
+        eio.save_png(os.path.join(base, f"{pre}Gy_{it:04d}.png"), gy)
+        hsv = eio.gradient_hsv_image(gx, gy)
+        eio.save_png(os.path.join(base, f"{pre}G_hsv_{it:04d}.png"), hsv)
+        bright = np.asarray(
+            recon.reconstruct_from_gradient(jnp.asarray(gx), jnp.asarray(gy))
+        )
+        eio.save_png(os.path.join(base, f"{pre}poisson_{it:04d}.png"), bright)
+
+    # -- checkpointing (new vs reference) ------------------------------------
+
+    def save_checkpoint(self, path: str, window_idx: int):
+        np.savez_compressed(
+            path,
+            knots=self.traj.knots,
+            t_beg=self.traj.t_beg,
+            dt=self.traj.dt,
+            order=self.traj.order,
+            gx=np.asarray(self.gx),
+            gy=np.asarray(self.gy),
+            window_idx=window_idx,
+        )
+
+    def load_checkpoint(self, path: str) -> int:
+        z = np.load(path)
+        self.traj = spline.Trajectory(
+            t_beg=float(z["t_beg"]),
+            dt=float(z["dt"]),
+            knots=z["knots"],
+            order=int(z["order"]),
+        )
+        self.gx, self.gy = z["gx"], z["gy"]
+        return int(z["window_idx"])
+
+    # -- the sliding-window loop (reference Run(), emba.cpp:400-471) --------
+
+    def run(self, resume_from: str | None = None) -> RunResult:
+        cfg = self.cfg
+        mcfg = cfg.model_config()
+        lm = cfg.lm_config()
+
+        t_win_beg = self.t_ba_beg
+        t_win_end = t_win_beg + self.win_size
+        t_pose_beg, t_pose_end = t_win_beg, t_win_end
+        first_window = True
+        count_window = 0
+        pose_latest = None
+        window_stats = []
+
+        if resume_from:
+            count_window = self.load_checkpoint(resume_from)
+            first_window = count_window == 0
+            t_win_beg += count_window * self.win_stride
+            t_win_end += count_window * self.win_stride
+            t_pose_beg = t_win_end - self.win_stride if count_window else t_win_beg
+            t_pose_end = t_win_end
+            if not first_window:
+                tq = t_win_end - self.win_stride - 1e-6
+                pose_latest = (tq, np.asarray(self.traj.evaluate(tq))[0])
+
+        while t_win_end < self.t_ba_end + 1e-3:
+            # Event subset (reference getEventSubset, emba.cpp:473-510).
+            lo = np.searchsorted(self.t, t_win_beg + 1e-3, side="right")
+            hi = np.searchsorted(self.t, t_win_end - 1e-3, side="right")
+            ev = (self.t[lo:hi], self.x[lo:hi], self.y[lo:hi], self.pol[lo:hi])
+
+            # Pose subset + new control poses (emba.cpp:412-417).
+            pm = (self.pose_times > t_pose_beg) & (self.pose_times < t_pose_end)
+            new_cps = spline.fit_knots_long(
+                self.pose_times[pm],
+                self.pose_rotations[pm],
+                t_pose_beg,
+                t_pose_end,
+                cfg.dt_knots,
+                cfg.spline_order,
+            )
+            if not first_window:
+                # align to the tail of the current trajectory (emba.cpp:420-428)
+                R0_inv = new_cps[0].T
+                new_cps = np.einsum(
+                    "ij,jk,nkl->nil", pose_latest[1], R0_inv, new_cps
+                )
+                new_cps = new_cps[1:]  # drop the shared first knot
+            self.traj.pushback(new_cps)
+
+            idx_cp_beg = count_window * self.cp_stride
+            seg = self.traj.segment(idx_cp_beg, self.traj.num_knots)
+
+            # Solve this window.
+            win = pairing.build_window(
+                ev[0], ev[1], ev[2], ev[3], self.camera.width, seg.locate,
+                cfg.event_batch_size,
+            )
+            dev = model.DeviceWindow.from_window(
+                win, self.bearing_lut, self.camera.width, self.dtype
+            )
+            win_id = count_window
+
+            def cb(it, gx, gy, info):
+                if self._iter_log is not None:
+                    self._iter_log.write(
+                        f"win {win_id} iter {it} log10(lambda)="
+                        f"{np.log10(info['lam']):.2f} cost_min={info['cost_min']}\n"
+                    )
+
+            knots, gx_j, gy_j, stats = solver.solve_window(
+                jnp.asarray(seg.knots, self.dtype),
+                jnp.asarray(self.gx, self.dtype),
+                jnp.asarray(self.gy, self.dtype),
+                dev,
+                mcfg,
+                lm,
+                damping_factor=cfg.damping_factor,
+                fix_first=first_window,
+                use_cg=cfg.use_cg,
+                callback=cb,
+            )
+            self.gx, self.gy = np.asarray(gx_j), np.asarray(gy_j)
+            seg = dataclasses.replace(seg, knots=np.asarray(knots, np.float64))
+            self.traj.replace_with(seg, seg.num_knots, 0, idx_cp_beg)
+            window_stats.append(stats)
+            self._save_maps("map_opt", win_id, len(stats.iterations))
+
+            # Latest pose for the next window's alignment (emba.cpp:458-460).
+            tq = t_win_end - 1e-6
+            pose_latest = (tq, np.asarray(self.traj.evaluate(tq))[0])
+
+            # Slide (emba.cpp:512-532).
+            t_win_beg += self.win_stride
+            t_pose_beg = t_win_end
+            t_win_end += self.win_stride
+            t_pose_end = t_win_end
+            count_window += 1
+            first_window = False
+
+            if self.record_data:
+                self.save_checkpoint(
+                    os.path.join(self.result_dir, "final_results", "checkpoint.npz"),
+                    count_window,
+                )
+
+        if self.record_data:
+            self.traj.write_tum(
+                os.path.join(
+                    self.result_dir, "final_results", "trajectory_refined.txt"
+                ),
+                time_offset=cfg.time_offset,
+            )
+            eio.save_map_bin(
+                os.path.join(self.result_dir, "final_results", "Gx.bin"),
+                os.path.join(self.result_dir, "final_results", "Gy.bin"),
+                self.gx,
+                self.gy,
+            )
+            self._write_runtime(window_stats)
+            if self._iter_log is not None:
+                self._iter_log.close()
+
+        return RunResult(
+            trajectory=self.traj,
+            gx=self.gx,
+            gy=self.gy,
+            window_stats=window_stats,
+            result_dir=self.result_dir,
+        )
+
+    def _write_runtime(self, window_stats):
+        """Per-phase runtime logs (reference runtime_*.txt,
+        solver.cpp:147-151, 218-222, 290-294) + events/s."""
+        agg = {"form": 0.0, "solve": 0.0, "objective": 0.0}
+        counts = {"form": 0, "solve": 0, "objective": 0}
+        n_ev = 0
+        for st in window_stats:
+            agg["form"] += st.time_form_s
+            agg["solve"] += st.time_solve_s
+            agg["objective"] += st.time_objective_s
+            counts["form"] += st.count_form
+            counts["solve"] += st.count_solve
+            counts["objective"] += st.count_objective
+            n_ev += st.num_events
+        out = {
+            "phases_s": agg,
+            "phase_counts": counts,
+            "num_events": n_ev,
+            "events_per_second": window_stats[-1].events_per_second()
+            if window_stats
+            else {},
+        }
+        with open(
+            os.path.join(self.result_dir, "final_results", "runtime.json"), "w"
+        ) as f:
+            json.dump(out, f, indent=2)

@@ -93,7 +93,7 @@ def solve_window(
     Returns: (knots, Gx, Gy, LMStats).
     """
     num_knots = knots.shape[0]
-    stats = LMStats(num_events=int(dev_win.bearings.shape[0]))
+    stats = LMStats(num_events=int(dev_win.pol_signed.shape[0]))
 
     lam = lm.lambda_init
     cost_min_old = 1e99

@@ -4,10 +4,13 @@ TPU-native replacement for the reference's per-event warp loop (HOT LOOP #1,
 reference ``src/emba/model.cpp:102-172`` + ``src/utils/event_pano_warper.cpp:43-74``):
 
 * one spline evaluation per event *batch* (the reference shares a pose across
-  batches of ``event_batch_size`` events, ``model.cpp:78,116-136``),
-* a dense gather of precomputed bearing vectors,
-* a single fused rotate + equirectangular-project + Jacobian-chain over all
-  events (vmapped jnp; everything lands on the VPU/MXU).
+  batches of ``event_batch_size`` events, ``model.cpp:78,116-136``) — NB =
+  N/100 evaluations instead of N,
+* per-event work in fully flat (N,) component arrays: XLA TPU tiles the
+  trailing two dims of every materialized tensor to (8, 128), so (N, 3, 3)
+  rotation-matrix layouts would pad 57x (19 GB at 4M events). Rotation and
+  Jacobian components are gathered from the small per-batch tensors as
+  individual (N,) vectors and all products are expanded scalarly (VPU).
 
 Left-perturbation convention throughout: ``d rb / d eps = -hat(rb)``
 (reference: ``event_pano_warper.cpp:62``), chained with the spline knot
@@ -19,14 +22,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from . import lie, spline
+from . import spline
 from .camera import EquirectangularCamera
 
 
 def warp_events(
     knots,
-    s,
-    u,
+    batch_s,
+    batch_u,
+    batch_ids,
     bearings,
     pano: EquirectangularCamera,
     order: int,
@@ -36,38 +40,83 @@ def warp_events(
 
     Args:
       knots: (K, 3, 3) spline control poses.
-      s: (N,) int32 spline segment index per EVENT (events in the same
-        reference batch carry identical (s, u) — pose sharing is encoded in
-        the values, keeping the computation embarrassingly parallel and
-        shardable along the event axis).
-      u: (N,) normalized offset per event (its batch mid-time).
-      bearings: (N, 3) per-event bearing vectors (LUT-gathered; unit norm).
+      batch_s: (NB,) int32 spline segment per event batch.
+      batch_u: (NB,) normalized offset per batch (batch mid-time).
+      batch_ids: (N,) int32 event -> batch index.
+      bearings: (3, N) per-event unit bearing vectors (transposed layout).
       pano: equirectangular camera.
       order: spline order (static).
       need_jacobian: compute d pm / d knot-perturbations.
 
     Returns:
-      pm: (N, 2) warped positions.
-      cp_idx: (N,) int32 first involved control-pose index (== s).
-      dpm_dcp: (N, 2, 3*order) Jacobian w.r.t. the stacked left-perturbations
+      pm: tuple (pmx (N,), pmy (N,)) warped positions.
+      cp_idx: (N,) int32 first involved control-pose index.
+      dpm_dcp: (2, 3*order, N) Jacobian w.r.t. the stacked left-perturbations
         of knots [cp_idx, cp_idx + order) — or None.
     """
     if need_jacobian:
-        R_ev, J_ev = spline.evaluate(knots, s, u, order, True)
+        R_b, J_b = spline.evaluate(knots, batch_s, batch_u, order, True)
     else:
-        R_ev = spline.evaluate(knots, s, u, order, False)
+        R_b = spline.evaluate(knots, batch_s, batch_u, order, False)
 
-    rb = jnp.einsum("nij,nj->ni", R_ev, bearings)
+    # Gather rotation components as flat (N,) vectors (no (N,3,3) tensors).
+    R = [[R_b[:, i, j][batch_ids] for j in range(3)] for i in range(3)]
+    bx, by, bz = bearings[0], bearings[1], bearings[2]
+    x = R[0][0] * bx + R[0][1] * by + R[0][2] * bz
+    y = R[1][0] * bx + R[1][1] * by + R[1][2] * bz
+    z = R[2][0] * bx + R[2][1] * by + R[2][2] * bz
 
+    dtype = bearings.dtype
+    rho2 = x * x + y * y + z * z
+    rho = jnp.sqrt(rho2)
+    fx = jnp.asarray(pano.fx, dtype)
+    fy = jnp.asarray(pano.fy, dtype)
+    pmx = pano.width / 2.0 + jnp.arctan2(x, z) * fx
+    y_div_rho = jnp.clip(y / rho, -1.0, 1.0)
+    pmy = pano.height / 2.0 + jnp.arcsin(y_div_rho) * fy
+
+    cp_idx = batch_s[batch_ids]
     if not need_jacobian:
-        pm = pano.project(rb, need_jacobian=False)
-        return pm, s, None
+        return (pmx, pmy), cp_idx, None
 
-    pm, dpm_drb = pano.project(rb, need_jacobian=True)  # (N,2), (N,2,3)
-    drb_drot = -lie.hat(rb)  # (N, 3, 3): left perturbation
-    dpm_drot = jnp.einsum("nij,njk->nik", dpm_drb, drb_drot)  # (N, 2, 3)
-    # chain with the spline knot Jacobians: (N, 2, order*3)
-    dpm_dcp = jnp.einsum("nij,nojk->niok", dpm_drot, J_ev).reshape(
-        pm.shape[0], 2, 3 * order
-    )
-    return pm, s, dpm_dcp
+    # Equirect projection Jacobian rows (camera.EquirectangularCamera.project
+    # math, on flat vectors; z-axis / pole safe).
+    xz2 = x * x + z * z
+    xz2_safe = jnp.where(xz2 < 1e-24, jnp.ones_like(xz2), xz2)
+    j00 = fx * z / xz2_safe
+    j02 = -fx * x / xz2_safe
+    one_m_w2 = jnp.maximum(1.0 - y_div_rho * y_div_rho, 1e-12)
+    inv_sq = 1.0 / jnp.sqrt(one_m_w2)
+    tmp3 = y_div_rho / rho2
+    j10 = fy * inv_sq * (-tmp3 * x)
+    j11 = fy * inv_sq * (1.0 / rho - tmp3 * y)
+    j12 = fy * inv_sq * (-tmp3 * z)
+
+    # dpm_drot = Jproj @ (-hat(rb)); -hat rows: [0, z, -y], [-z, 0, x], [y, -x, 0]
+    p00 = j02 * y
+    p01 = j00 * z - j02 * x
+    p02 = -j00 * y
+    p10 = -j11 * z + j12 * y
+    p11 = j10 * z - j12 * x
+    p12 = -j10 * y + j11 * x
+    prow = ((p00, p01, p02), (p10, p11, p12))
+
+    # Chain with the spline knot Jacobians: J_b (NB, order, 3, 3) with
+    # J_b[b, o, k, j] = d(rot)_k / d(knot o pert)_j. Gather each component as
+    # (N,) and expand dpm_dcp[r, 3o+j] = sum_k prow[r][k] * J[o][k][j].
+    out = []
+    for r in range(2):
+        for o in range(order):
+            cols = []
+            for j in range(3):
+                acc = None
+                for k in range(3):
+                    term = J_b[:, o, k, j][batch_ids] * prow[r][k]
+                    acc = term if acc is None else acc + term
+                cols.append(acc)
+            out.append(cols)
+    dpm_dcp = jnp.stack(
+        [jnp.stack([c for cols in out[r * order : (r + 1) * order] for c in cols])
+         for r in range(2)]
+    )  # (2, 3*order, N)
+    return (pmx, pmy), cp_idx, dpm_dcp

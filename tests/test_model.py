@@ -132,22 +132,27 @@ def test_normal_eq_matches_oracle(scene, use_irls, cost_type):
     # compare per-active-pixel quantities
     act = np.asarray(neq.active)
     np.testing.assert_array_equal(act, res["active"])
-    mine_A22 = np.asarray(neq.A22)
-    mine_b2 = np.asarray(neq.b2)
-    mine_A12 = np.asarray(neq.A12)
+    a22 = np.stack(
+        [np.asarray(neq.a22_xx), np.asarray(neq.a22_xy), np.asarray(neq.a22_yy)],
+        axis=-1,
+    )
+    b2 = np.stack([np.asarray(neq.b2_x), np.asarray(neq.b2_y)], axis=-1)
+    dim_pose = 3 * traj.num_knots
+    hw = cfg.num_pix
+    A12 = np.asarray(neq.A12).reshape(dim_pose, 2, hw)
     for pmpix, ai in res["active_ids"].items():
         blk = res["A22"][ai]
         np.testing.assert_allclose(
-            mine_A22[pmpix], [blk[0, 0], blk[0, 1], blk[1, 1]], atol=1e-10
+            a22[pmpix], [blk[0, 0], blk[0, 1], blk[1, 1]], atol=1e-10
         )
         np.testing.assert_allclose(
-            mine_b2[pmpix], res["b2"][2 * ai : 2 * ai + 2], atol=1e-10
+            b2[pmpix], res["b2"][2 * ai : 2 * ai + 2], atol=1e-10
         )
         np.testing.assert_allclose(
-            mine_A12[pmpix].T, res["A12"][:, 2 * ai : 2 * ai + 2], atol=1e-9
+            A12[:, :, pmpix], res["A12"][:, 2 * ai : 2 * ai + 2], atol=1e-9
         )
     # inactive pixels carry no coupling
-    assert np.abs(mine_A12[~act]).max() == 0.0
+    assert np.abs(A12[:, :, ~act]).max() == 0.0
 
 
 @pytest.mark.parametrize("fix_first", [False, True])
@@ -169,13 +174,13 @@ def test_schur_solve_matches_oracle(scene, fix_first):
     )
     ox1, ox2 = oracle.schur_solve(res, lam, fix_first=fix_first)
     np.testing.assert_allclose(np.asarray(x1), ox1, atol=1e-8, rtol=1e-6)
-    x2_np = np.asarray(x2)
+    x2_np = np.asarray(x2)  # (2, HW)
     for pmpix, ai in res["active_ids"].items():
         np.testing.assert_allclose(
-            x2_np[pmpix], ox2[2 * ai : 2 * ai + 2], atol=1e-8, rtol=1e-6
+            x2_np[:, pmpix], ox2[2 * ai : 2 * ai + 2], atol=1e-8, rtol=1e-6
         )
     # inactive pixels receive zero increment
-    assert np.abs(x2_np[~np.asarray(neq.active)]).max() == 0.0
+    assert np.abs(x2_np[:, ~np.asarray(neq.active)]).max() == 0.0
 
 
 def test_cg_solve_agrees_with_schur(scene):

@@ -1,0 +1,215 @@
+"""Pipeline + CLI + IO tests: the full user-facing flow (synth -> run ->
+eval) through the CLI surface, artifact round-trips, rosbag round-trip,
+checkpoint/resume, and the sliding-window protocol."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from emba_tpu import cli
+from emba_tpu import io as eio
+from emba_tpu import rosbag as rb
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synthdata")
+    cli.main(
+        [
+            "synth",
+            "--out",
+            str(out),
+            "--sensor",
+            "40",
+            "--pano-height",
+            "64",
+            "--duration",
+            "0.6",
+            "--steps",
+            "300",
+            "--motion",
+            "0.2",
+            "--c-th",
+            "0.1",
+        ]
+    )
+    return out
+
+
+def test_cli_run_and_eval(dataset, tmp_path, capsys):
+    res = tmp_path / "results"
+    cli.main(
+        [
+            "run",
+            "--events",
+            str(dataset / "events.npz"),
+            "--poses",
+            str(dataset / "traj_gt.txt"),
+            "--map-gx",
+            str(dataset / "Gx.bin"),
+            "--map-gy",
+            str(dataset / "Gy.bin"),
+            "--calib",
+            str(dataset / "calib.yaml"),
+            "--out",
+            str(res),
+            "--start-time",
+            "0.02",
+            "--stop-time",
+            "0.58",
+            "--c-th",
+            "0.1",
+            "--alpha",
+            "0.5",
+            "--max-num-iter",
+            "6",
+            "--dtype",
+            "float64",
+            "--outlier-dp",
+            "3.0",
+            "--thres-valid-pixel",
+            "3",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["windows"] == 1
+    traj_path = res / "final_results" / "trajectory_refined.txt"
+    assert traj_path.exists()
+    assert (res / "final_results" / "Gx.bin").exists()
+    assert (res / "params.txt").exists()
+    assert (res / "final_results" / "runtime.json").exists()
+
+    cli.main(["eval", "--traj", str(traj_path), "--gt", str(dataset / "traj_gt.txt")])
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # started from GT poses; refinement must stay in the GT's neighborhood
+    # (the joint map+pose optimum sits near, not at, GT — see SKILL.md note)
+    assert ev["rotation_rmse_deg"] < 2.0
+
+
+def test_sliding_window_multiwindow(dataset, tmp_path, capsys):
+    """Exercise the multi-window protocol (the reference always runs one
+    window in its experiments; the machinery exists for more)."""
+    res = tmp_path / "res_sw"
+    cli.main(
+        [
+            "run",
+            "--events",
+            str(dataset / "events.npz"),
+            "--poses",
+            str(dataset / "traj_gt.txt"),
+            "--map-gx",
+            str(dataset / "Gx.bin"),
+            "--map-gy",
+            str(dataset / "Gy.bin"),
+            "--calib",
+            str(dataset / "calib.yaml"),
+            "--out",
+            str(res),
+            "--start-time",
+            "0.0",
+            "--stop-time",
+            "0.6",
+            "--c-th",
+            "0.1",
+            "--alpha",
+            "0.5",
+            "--max-num-iter",
+            "3",
+            "--dtype",
+            "float64",
+        ]
+    )
+    # override preset-free window via config: use defaults => whole span.
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["windows"] >= 1
+
+
+def test_pipeline_two_windows(dataset):
+    """Direct pipeline drive with a window smaller than the BA span."""
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.0,
+        stop_time=0.6,
+        c_th=0.1,
+        alpha=0.5,
+        max_num_iter=2,
+        dt_knots=0.05,
+        time_window_size=0.3,
+        sliding_window_stride=0.3,
+        dtype="float64",
+    )
+    pipe = EmbaPipeline(
+        cfg,
+        load_camera_yaml(str(dataset / "calib.yaml")),
+        (t, x, y, pol),
+        times,
+        rots,
+        init_gx=gx,
+        init_gy=gy,
+    )
+    res = pipe.run()
+    assert len(res.window_stats) == 2
+    # knot count covers the whole span: 0.6/0.05 + 1
+    assert res.trajectory.num_knots == 13
+    assert np.isfinite(res.trajectory.knots).all()
+
+
+def test_rosbag_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 5000
+    t = np.sort(rng.uniform(10.0, 11.0, n))
+    x = rng.integers(0, 64, n).astype(np.int32)
+    y = rng.integers(0, 48, n).astype(np.int32)
+    pol = rng.integers(0, 2, n).astype(np.int8)
+    bag = tmp_path / "events.bag"
+    rb.write_rosbag(str(bag), "/dvs/events", t, x, y, pol, chunk_events=1234)
+    (t2, x2, y2, pol2), cam = rb.parse_rosbag(str(bag), "/dvs/events")
+    assert cam is None
+    np.testing.assert_allclose(t2, t, atol=1e-9)
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(pol2, pol)
+    # time filtering semantics (tmin exclusive +1e-6, tmax inclusive)
+    (t3, *_), _ = rb.parse_rosbag(str(bag), "/dvs/events", tmin=10.5, tmax=10.8)
+    assert t3.min() > 10.5 and t3.max() <= 10.8
+
+
+def test_map_bin_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    gx = rng.normal(size=(64, 128))
+    gy = rng.normal(size=(64, 128))
+    eio.save_map_bin(str(tmp_path / "Gx.bin"), str(tmp_path / "Gy.bin"), gx, gy)
+    gx2, gy2 = eio.load_map_bin(str(tmp_path / "Gx.bin"), str(tmp_path / "Gy.bin"))
+    np.testing.assert_array_equal(gx2, gx)
+    np.testing.assert_array_equal(gy2, gy)
+
+
+def test_tum_roundtrip(tmp_path):
+    from emba_tpu import lie
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    times = np.sort(rng.uniform(0, 1, 20))
+    R = np.asarray(lie.exp(jnp.asarray(rng.normal(size=(20, 3)) * 0.5)))
+    eio.save_tum_trajectory(str(tmp_path / "t.txt"), times, R, time_offset=0.5)
+    t2, R2 = eio.load_tum_trajectory(str(tmp_path / "t.txt"), time_offset=0.5)
+    np.testing.assert_allclose(t2, times, atol=1e-9)
+    np.testing.assert_allclose(R2, R, atol=1e-9)
+
+
+def test_png_write(tmp_path):
+    img = np.random.default_rng(3).normal(size=(32, 48))
+    eio.save_png(str(tmp_path / "a.png"), img)
+    data = (tmp_path / "a.png").read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    rgb = eio.gradient_hsv_image(img, img[::-1])
+    eio.save_png(str(tmp_path / "b.png"), rgb)
+    assert (tmp_path / "b.png").exists()
