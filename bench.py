@@ -31,10 +31,20 @@ PANO_H = int(os.environ.get("BENCH_PANO_H", "512"))
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", "600"))
 T_END = float(os.environ.get("BENCH_T_END", "4.8"))
 C_TH = float(os.environ.get("BENCH_C_TH", "0.1"))
-MAX_EVENTS = int(os.environ.get("BENCH_MAX_EVENTS", "4000000"))
-LM_ITERS = int(os.environ.get("BENCH_LM_ITERS", "6"))
-CPU_EVENTS = int(os.environ.get("BENCH_CPU_EVENTS", "200000"))
-CPU_LM_ITERS = int(os.environ.get("BENCH_CPU_LM_ITERS", "2"))
+MAX_EVENTS = int(os.environ.get("BENCH_MAX_EVENTS", "2000000"))
+LM_ITERS = int(os.environ.get("BENCH_LM_ITERS", "4"))
+CPU_EVENTS = int(os.environ.get("BENCH_CPU_EVENTS", "100000"))
+CPU_LM_ITERS = int(os.environ.get("BENCH_CPU_LM_ITERS", "1"))
+
+# Persistent compile cache: the remote TPU compile path is slow (10s-100s
+# per program); cache across bench runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(CACHE_DIR, "jaxcache")
+)
+
+
+def _log(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
 def build_dataset():
@@ -92,6 +102,10 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
     dtype = jnp.float32 if dtype_str == "float32" else jnp.float64
     if dtype_str == "float64":
         jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(CACHE_DIR, "jaxcache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     knots = np.asarray(data["knots"])
     traj = spline.Trajectory(
@@ -124,11 +138,13 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
     Gy = jnp.asarray(data["gy"], dtype)
     k0 = jnp.asarray(traj0.knots, dtype)
 
-    # Warm up all jitted phases (exclude compile time from the measurement).
-    lin = model.linearize(k0, Gx, Gy, dev, cfg, True)
-    neq = model.form_normal_eq(lin, Gx, Gy, cfg, traj.num_knots)
-    x1, x2 = model.solve_normal_eq(neq, jnp.asarray(1e-3, dtype), True)
-    jax.block_until_ready(x1)
+    # Warm up ALL jitted phases with a 1-iteration throwaway solve
+    # (excludes compile time — which goes through a slow remote service —
+    # from the measurement).
+    _k, _gx, _gy, _st = solver.solve_window(
+        k0, Gx, Gy, dev, cfg, solver.LMConfig(max_num_iter=1), fix_first=True,
+    )
+    del _k, _gx, _gy, _st
 
     t0 = time.perf_counter()
     kf, gxf, gyf, stats = solver.solve_window(
@@ -154,6 +170,7 @@ def main():
         print(json.dumps(res))
         return
 
+    _log("building/loading dataset")
     data = build_dataset()
 
     # CPU baseline in a subprocess (single-threaded XLA CPU, f64 — proxy for
@@ -165,17 +182,28 @@ def main():
     env["OMP_NUM_THREADS"] = "1"
     env["OPENBLAS_NUM_THREADS"] = "1"
     baseline_eps = None
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-            env=env, capture_output=True, text=True, timeout=1200,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        baseline = json.loads(line)
-        baseline_eps = baseline["events_per_s"]["total"]
-    except Exception as e:  # noqa: BLE001
-        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+    baseline_cache = os.path.join(CACHE_DIR, "cpu_baseline.json")
+    if os.path.exists(baseline_cache):
+        with open(baseline_cache) as f:
+            baseline_eps = json.load(f)["events_per_s"]["total"]
+        _log(f"cpu baseline (cached): {baseline_eps:.3g} ev/s")
+    elif os.environ.get("BENCH_SKIP_CPU") != "1":
+        _log("running CPU baseline subprocess")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+                env=env, capture_output=True, text=True, timeout=900,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            baseline = json.loads(line)
+            baseline_eps = baseline["events_per_s"]["total"]
+            with open(baseline_cache, "w") as f:
+                json.dump(baseline, f)
+            _log(f"cpu baseline: {baseline_eps:.3g} ev/s")
+        except Exception as e:  # noqa: BLE001
+            print(f"# cpu baseline failed: {e}", file=sys.stderr)
 
+    _log("running TPU measurement")
     res = run_ba(data, "float32", LM_ITERS, MAX_EVENTS)
     value = res["events_per_s"]["total"]
     vs = value / baseline_eps if baseline_eps else None

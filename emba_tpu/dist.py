@@ -136,7 +136,7 @@ def _constrain_neq(mesh: Mesh, neq: M.NormalEq) -> M.NormalEq:
         a22_yy=c(neq.a22_yy, P("tile")),
         b2_x=c(neq.b2_x, P("tile")),
         b2_y=c(neq.b2_y, P("tile")),
-        A12=neq.A12,
+        A12=c(neq.A12, P("tile", None)),  # pixel rows sharded over tiles
         active=c(neq.active, P("tile")),
     )
 

@@ -61,6 +61,8 @@ class ModelConfig:
     cost_type: str = "quadratic"  # quadratic | huber | cauchy
     eta: float = 1.0
     spline_order: int = 2
+    # Use the Pallas sorted-accumulation kernel for A12/A22/b2 (TPU only).
+    use_pallas: bool = False
 
     @property
     def num_pix(self) -> int:
@@ -178,8 +180,9 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     )
     pmx, pmy = pm  # (N,), (N,)
 
-    dx = pmx - pmx[dev.prev_idx]
-    dy = pmy - pmy[dev.prev_idx]
+    pm_prev = jnp.take(jnp.stack([pmx, pmy]), dev.prev_idx, axis=1)  # (2, N)
+    dx = pmx - pm_prev[0]
+    dy = pmy - pm_prev[1]
     dp_norm2 = dx * dx + dy * dy
     inlier = dev.has_prev & (dp_norm2 <= cfg.outlier_dp_norm**2)
 
@@ -189,8 +192,9 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     py = jnp.clip(jnp.floor(pmy + 0.5).astype(jnp.int32), 0, cfg.pano_height - 1)
     pm_pix = py * cfg.pano_width + px
 
-    gx = Gx.reshape(-1)[pm_pix]
-    gy = Gy.reshape(-1)[pm_pix]
+    gmaps = jnp.stack([Gx.reshape(-1), Gy.reshape(-1)])  # (2, HW)
+    g_at = jnp.take(gmaps, pm_pix, axis=1)  # one fused gather -> (2, N)
+    gx, gy = g_at[0], g_at[1]
     c_pred = gx * dx + gy * dy
     c_meas = dev.pol_signed * cfg.c_th
     e = jnp.where(inlier, c_meas - c_pred, 0.0)
@@ -215,16 +219,22 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
         )
 
     gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
-    gxx = gxx_m.reshape(-1)[pm_pix]
-    gxy = gxy_m.reshape(-1)[pm_pix]
-    gyy = gyy_m.reshape(-1)[pm_pix]
+    g2 = jnp.take(
+        jnp.stack([gxx_m.reshape(-1), gxy_m.reshape(-1), gyy_m.reshape(-1)]),
+        pm_pix,
+        axis=1,
+    )  # one fused gather -> (3, N)
+    gxx, gxy, gyy = g2[0], g2[1], g2[2]
     # temp = Gpm + dp^T G2pm  (1x2; reference model.cpp:238)
     tx = gx + dx * gxx + dy * gxy
     ty = gy + dx * gxy + dy * gyy
 
     # dpm_dcp: (2, D, N). Jc = temp . dpm_dcp(curr); Jp = -Gpm . dpm_dcp(prev)
+    d = cfg.dim_block
     Jc = tx[None, :] * dpm_dcp[0] + ty[None, :] * dpm_dcp[1]  # (D, N)
-    dpm_prev = dpm_dcp[:, :, dev.prev_idx]  # (2, D, N) column gather
+    dpm_prev = jnp.take(
+        dpm_dcp.reshape(2 * d, -1), dev.prev_idx, axis=1
+    ).reshape(2, d, -1)  # one fused column gather
     Jp = -(gx[None, :] * dpm_prev[0] + gy[None, :] * dpm_prev[1])
 
     return Linearization(
@@ -279,26 +289,32 @@ def irls_weights(e, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NormalEq:
     """Schur-structured normal equations.
 
-    A12 is stored flat in ``(3K, 2, HW)`` row-major index space
-    (``idx = (3*seg + j) * 2HW + plane * HW + pixel``), so that
-    ``A12.reshape(3K, 2, HW)[:, 0]`` / ``[:, 1]`` are the Gx / Gy column
-    planes — clean 2-D GEMM operands for the Schur reduction.
+    A12 is stored as (HW_pad, 2*dp_pad) with dp_pad = round_up(3K, 128):
+    columns [0:dp_pad) are the Gx plane, [dp_pad:2dp_pad) the Gy plane;
+    rows are pano pixels (zero beyond HW). This makes the Schur reduction
+    two plain 2-D GEMMs contracting over the pixel rows, and matches the
+    Pallas accumulation kernel's output layout. The per-pixel arrays are
+    padded to HW_pad as well (zeros beyond HW).
     """
 
     A11: jax.Array  # (3K, 3K)
     b1: jax.Array  # (3K,)
-    a22_xx: jax.Array  # (HW,)
-    a22_xy: jax.Array  # (HW,)
-    a22_yy: jax.Array  # (HW,)
-    b2_x: jax.Array  # (HW,)
-    b2_y: jax.Array  # (HW,)
-    A12: jax.Array  # (3K * 2 * HW,) flat
-    active: jax.Array  # (HW,) bool
+    a22_xx: jax.Array  # (HW_pad,)
+    a22_xy: jax.Array  # (HW_pad,)
+    a22_yy: jax.Array  # (HW_pad,)
+    b2_x: jax.Array  # (HW_pad,)
+    b2_y: jax.Array  # (HW_pad,)
+    A12: jax.Array  # (HW_pad, 2*dp_pad)
+    active: jax.Array  # (HW_pad,) bool (False beyond HW)
 
 
 def _pad_to_chunks(x, n_pad, value=0):
@@ -323,6 +339,10 @@ def form_normal_eq(
     dim_pose = 3 * num_knots
     hw = cfg.num_pix
     n = lin.e.shape[0]
+    dp_pad = _round_up(dim_pose, 128)
+    from .kernels.a12_accum import TILE_PX
+
+    hw_pad = _round_up(hw, TILE_PX)
 
     active = lin.num_ev_map >= cfg.thres_valid_pixel
     w = lin.inlier & active[lin.pm_pix]
@@ -330,25 +350,33 @@ def form_normal_eq(
     wA = jnp.where(w, yi, 0.0).astype(dt)  # weight for LHS terms
     we = wA * lin.e  # reweighted residual for RHS terms
 
-    # ---- chunked scan over measurements ------------------------------------
+    # ---- chunked scan over measurements: A11 / b1 (MXU GEMMs) -------------
     n_chunks = -(-n // CHUNK)
     pad = n_chunks * CHUNK - n
-    # chunk views: (n_chunks, CHUNK) / (n_chunks, D, CHUNK)
     wA_c = _pad_to_chunks(wA, pad).reshape(n_chunks, CHUNK)
     we_c = _pad_to_chunks(we, pad).reshape(n_chunks, CHUNK)
-    dx_c = _pad_to_chunks(lin.dx, pad).reshape(n_chunks, CHUNK)
-    dy_c = _pad_to_chunks(lin.dy, pad).reshape(n_chunks, CHUNK)
-    pix_c = _pad_to_chunks(lin.pm_pix, pad).reshape(n_chunks, CHUNK)
     ic_c = _pad_to_chunks(lin.i_c, pad).reshape(n_chunks, CHUNK)
     ip_c = _pad_to_chunks(lin.i_p, pad).reshape(n_chunks, CHUNK)
-    Jc_c = jnp.pad(lin.Jc, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK)
-    Jp_c = jnp.pad(lin.Jp, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK)
-    Jc_c = jnp.moveaxis(Jc_c, 1, 0)  # (n_chunks, D, CHUNK)
-    Jp_c = jnp.moveaxis(Jp_c, 1, 0)
+    Jc_c = jnp.moveaxis(
+        jnp.pad(lin.Jc, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK), 1, 0
+    )
+    Jp_c = jnp.moveaxis(
+        jnp.pad(lin.Jp, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK), 1, 0
+    )
+
+    use_pallas = cfg.use_pallas and dt == jnp.float32
+    if not use_pallas:
+        dx_c = _pad_to_chunks(lin.dx, pad).reshape(n_chunks, CHUNK)
+        dy_c = _pad_to_chunks(lin.dy, pad).reshape(n_chunks, CHUNK)
+        pix_c = _pad_to_chunks(lin.pm_pix, pad).reshape(n_chunks, CHUNK)
 
     def chunk_body(carry, inp):
-        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12 = carry
-        wAk, wek, dxk, dyk, pixk, ick, ipk, Jck, Jpk = inp
+        if use_pallas:
+            A11, b1 = carry
+            wAk, wek, ick, ipk, Jck, Jpk = inp
+        else:
+            A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12 = carry
+            wAk, wek, ick, ipk, Jck, Jpk, dxk, dyk, pixk = inp
 
         # rows: (CHUNK, 3K) measurement rows by one-hot knot placement of the
         # curr/prev half-Jacobians. Built directly in 2-D (a (CHUNK, K, 3)
@@ -370,6 +398,9 @@ def form_normal_eq(
         A11 = A11 + jnp.dot(rows.T, wrows, preferred_element_type=dt)
         b1 = b1 + rows.T @ wek
 
+        if use_pallas:
+            return (A11, b1), None
+
         # A22 / b2: 1-D per-pixel scatter adds.
         a22xx = a22xx.at[pixk].add(wAk * dxk * dxk, mode="drop")
         a22xy = a22xy.at[pixk].add(wAk * dxk * dyk, mode="drop")
@@ -377,18 +408,17 @@ def form_normal_eq(
         b2x = b2x.at[pixk].add(wek * dxk, mode="drop")
         b2y = b2y.at[pixk].add(wek * dyk, mode="drop")
 
-        # A12: one fused flat scatter in (3K, 2, HW) index space. Per
-        # measurement: 2 halves (curr/prev knot windows) x D rows x 2 planes.
-        # idx/vals built in (2*D*2, CHUNK) layout (event axis last).
+        # A12 fallback: one fused flat scatter in (HW_pad, 2*dp_pad) index
+        # space: idx = pix*(2*dp_pad) + plane*dp_pad + (3*seg + j).
         idx_list = []
         val_list = []
+        rowbase = pixk * (2 * dp_pad)
         for seg, Jh in ((ick, Jck), (ipk, Jpk)):
-            base = 3 * seg  # (CHUNK,)
+            colbase = 3 * seg  # (CHUNK,)
             for j in range(d):
-                col = (base + j) * (2 * hw)
-                idx_list.append(col + pixk)
+                idx_list.append(rowbase + colbase + j)
                 val_list.append(wAk * Jh[j] * dxk)
-                idx_list.append(col + hw + pixk)
+                idx_list.append(rowbase + dp_pad + colbase + j)
                 val_list.append(wAk * Jh[j] * dyk)
         idx = jnp.stack(idx_list).reshape(-1)
         vals = jnp.stack(val_list).reshape(-1)
@@ -396,29 +426,68 @@ def form_normal_eq(
 
         return (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), None
 
-    carry0 = (
-        jnp.zeros((dim_pose, dim_pose), dt),
-        jnp.zeros((dim_pose,), dt),
-        jnp.zeros((hw,), dt),
-        jnp.zeros((hw,), dt),
-        jnp.zeros((hw,), dt),
-        jnp.zeros((hw,), dt),
-        jnp.zeros((hw,), dt),
-        jnp.zeros((dim_pose * 2 * hw,), dt),
-    )
-    (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), _ = jax.lax.scan(
-        chunk_body,
-        carry0,
-        (wA_c, we_c, dx_c, dy_c, pix_c, ic_c, ip_c, Jc_c, Jp_c),
-    )
+    if use_pallas:
+        carry0 = (
+            jnp.zeros((dim_pose, dim_pose), dt),
+            jnp.zeros((dim_pose,), dt),
+        )
+        (A11, b1), _ = jax.lax.scan(
+            chunk_body, carry0, (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c)
+        )
+        from .kernels.a12_accum import a12_accumulate
+
+        vals5 = jnp.stack(
+            [
+                wA * lin.dx * lin.dx,
+                wA * lin.dx * lin.dy,
+                wA * lin.dy * lin.dy,
+                we * lin.dx,
+                we * lin.dy,
+            ]
+        )
+        A12, px5 = a12_accumulate(
+            lin.pm_pix,
+            lin.i_c,
+            lin.i_p,
+            lin.Jc,
+            lin.Jp,
+            wA * lin.dx,
+            wA * lin.dy,
+            vals5,
+            hw,
+            dim_pose,
+            order,
+        )
+        a22xx, a22xy, a22yy = px5[:, 0], px5[:, 1], px5[:, 2]
+        b2x, b2y = px5[:, 3], px5[:, 4]
+    else:
+        carry0 = (
+            jnp.zeros((dim_pose, dim_pose), dt),
+            jnp.zeros((dim_pose,), dt),
+            jnp.zeros((hw_pad,), dt),
+            jnp.zeros((hw_pad,), dt),
+            jnp.zeros((hw_pad,), dt),
+            jnp.zeros((hw_pad,), dt),
+            jnp.zeros((hw_pad,), dt),
+            jnp.zeros((hw_pad * 2 * dp_pad,), dt),
+        )
+        (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), _ = jax.lax.scan(
+            chunk_body,
+            carry0,
+            (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, pix_c),
+        )
+        A12 = A12.reshape(hw_pad, 2 * dp_pad)
 
     # ---- L2 map regularizer (active pixels only) ---------------------------
+    active_pad = jnp.pad(active, (0, hw_pad - hw))
     alpha = jnp.asarray(cfg.alpha, dt)
-    act_f = active.astype(dt)
+    act_f = active_pad.astype(dt)
+    gx_pad = jnp.pad(Gx.reshape(-1), (0, hw_pad - hw)).astype(dt)
+    gy_pad = jnp.pad(Gy.reshape(-1), (0, hw_pad - hw)).astype(dt)
     a22xx = a22xx + alpha * act_f
     a22yy = a22yy + alpha * act_f
-    b2x = b2x - alpha * act_f * Gx.reshape(-1)
-    b2y = b2y - alpha * act_f * Gy.reshape(-1)
+    b2x = b2x - alpha * act_f * gx_pad
+    b2y = b2y - alpha * act_f * gy_pad
 
     return NormalEq(
         A11=A11,
@@ -429,7 +498,7 @@ def form_normal_eq(
         b2_x=b2x,
         b2_y=b2y,
         A12=A12,
-        active=active,
+        active=active_pad,
     )
 
 
@@ -467,31 +536,36 @@ def solve_normal_eq(neq: NormalEq, lam, fix_first: bool = False):
     solver.cpp:156-165)."""
     dt = neq.b1.dtype
     dim = neq.b1.shape[0]
-    hw = neq.a22_xx.shape[0]
+    dp_pad = neq.A12.shape[1] // 2
     A11, b1 = neq.A11, neq.b1
-    A12 = neq.A12.reshape(dim, 2, hw)
-    Ae, Ao = A12[:, 0, :], A12[:, 1, :]  # (3K, HW) Gx / Gy column planes
+    Ae = neq.A12[:, :dp_pad]  # (HW_pad, dp_pad) Gx plane (pixel rows)
+    Ao = neq.A12[:, dp_pad:]
+    # column mask: padded pose columns (>= dim) and optionally the first pose
+    col_lo = 3 if fix_first else 0
+    colmask = (
+        (jnp.arange(dp_pad) >= col_lo) & (jnp.arange(dp_pad) < dim)
+    ).astype(dt)
     if fix_first:
         m = (jnp.arange(dim) >= 3).astype(dt)
         A11 = A11 * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         b1 = b1 * m
-        Ae = Ae * m[:, None]
-        Ao = Ao * m[:, None]
+    Ae = Ae * colmask[None, :]
+    Ao = Ao * colmask[None, :]
 
     A11m = A11 + lam * jnp.diag(jnp.diag(A11))
     m00, m01, m11 = _damped_a22_inv(neq, lam)
 
-    # Z = A22m^-1 applied to the A12 column planes.
-    Ze = Ae * m00[None, :] + Ao * m01[None, :]
-    Zo = Ae * m01[None, :] + Ao * m11[None, :]
-    S = A11m - (
-        jnp.dot(Ae, Ze.T, preferred_element_type=dt)
-        + jnp.dot(Ao, Zo.T, preferred_element_type=dt)
-    )
+    # Z = A22m^-1 applied to the A12 planes (row-wise 2x2).
+    Ze = Ae * m00[:, None] + Ao * m01[:, None]
+    Zo = Ae * m01[:, None] + Ao * m11[:, None]
+    S_red = jax.lax.dot_general(
+        Ae, Ze, (((0,), (0,)), ((), ())), preferred_element_type=dt
+    ) + jax.lax.dot_general(Ao, Zo, (((0,), (0,)), ((), ())), preferred_element_type=dt)
+    S = A11m - S_red[:dim, :dim]
 
     ib2x = m00 * neq.b2_x + m01 * neq.b2_y
     ib2y = m01 * neq.b2_x + m11 * neq.b2_y
-    rhs = b1 - (Ae @ ib2x + Ao @ ib2y)
+    rhs = b1 - (ib2x @ Ae + ib2y @ Ao)[:dim]
 
     # Keep S factorizable when some knots are unobserved (zero rows — e.g.
     # sparse windows): their b1 is zero, so with a tiny diagonal floor the
@@ -502,11 +576,12 @@ def solve_normal_eq(neq: NormalEq, lam, fix_first: bool = False):
     chol, lower = jax.scipy.linalg.cho_factor(S)
     x1 = jax.scipy.linalg.cho_solve((chol, lower), rhs)
 
-    vx = neq.b2_x - Ae.T @ x1
-    vy = neq.b2_y - Ao.T @ x1
+    x1_pad = jnp.zeros((dp_pad,), dt).at[:dim].set(x1)
+    vx = neq.b2_x - Ae @ x1_pad
+    vy = neq.b2_y - Ao @ x1_pad
     x2x = m00 * vx + m01 * vy
     x2y = m01 * vx + m11 * vy
-    return x1, jnp.stack([x2x, x2y], axis=0)  # (3K,), (2, HW)
+    return x1, jnp.stack([x2x, x2y], axis=0)  # (3K,), (2, HW_pad)
 
 
 @partial(jax.jit, static_argnames=("fix_first", "max_iter"))
@@ -521,16 +596,20 @@ def solve_normal_eq_cg(
     applied blockwise (dense GEMV for A11/A12, per-pixel 2x2 for A22)."""
     dt = neq.b1.dtype
     dim = neq.b1.shape[0]
-    hw = neq.a22_xx.shape[0]
+    dp_pad = neq.A12.shape[1] // 2
     A11, b1 = neq.A11, neq.b1
-    A12 = neq.A12.reshape(dim, 2, hw)
-    Ae, Ao = A12[:, 0, :], A12[:, 1, :]
+    Ae = neq.A12[:, :dp_pad]  # (HW_pad, dp_pad)
+    Ao = neq.A12[:, dp_pad:]
+    col_lo = 3 if fix_first else 0
+    colmask = (
+        (jnp.arange(dp_pad) >= col_lo) & (jnp.arange(dp_pad) < dim)
+    ).astype(dt)
     if fix_first:
         m = (jnp.arange(dim) >= 3).astype(dt)
         A11 = A11 * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         b1 = b1 * m
-        Ae = Ae * m[:, None]
-        Ao = Ao * m[:, None]
+    Ae = Ae * colmask[None, :]
+    Ao = Ao * colmask[None, :]
 
     A11m = A11 + lam * jnp.diag(jnp.diag(A11))
     axx = neq.a22_xx * (1.0 + lam)
@@ -539,12 +618,13 @@ def solve_normal_eq_cg(
     act = neq.active.astype(dt)
 
     def matvec(x1, x2x, x2y):
-        y1 = A11m @ x1 + Ae @ x2x + Ao @ x2y
+        x1_pad = jnp.zeros((dp_pad,), dt).at[:dim].set(x1)
+        y1 = A11m @ x1 + (x2x @ Ae + x2y @ Ao)[:dim]
         a22x = axx * x2x + axy * x2y
         a22y = axy * x2x + ayy * x2y
         # inactive pixels: identity row (their rhs is zero -> stay zero)
-        y2x = Ae.T @ x1 + jnp.where(neq.active, a22x, x2x)
-        y2y = Ao.T @ x1 + jnp.where(neq.active, a22y, x2y)
+        y2x = Ae @ x1_pad + jnp.where(neq.active, a22x, x2x)
+        y2y = Ao @ x1_pad + jnp.where(neq.active, a22y, x2y)
         return y1, y2x, y2y
 
     b2x = neq.b2_x * act
@@ -585,11 +665,12 @@ def solve_normal_eq_cg(
 def update_map(Gx, Gy, x2, damping, active):
     """Apply the map increment: active pixels ``G += damping * x2``; inactive
     pixels reset to zero (reference ``updateMap``, model.cpp:863-903).
-    ``x2``: (2, HW)."""
+    ``x2``: (2, HW_pad) and ``active``: (HW_pad,) — sliced to the map size."""
     shape = Gx.shape
-    act = active.reshape(shape)
-    gx = jnp.where(act, Gx + damping * x2[0].reshape(shape), 0.0)
-    gy = jnp.where(act, Gy + damping * x2[1].reshape(shape), 0.0)
+    hw = shape[0] * shape[1]
+    act = active[:hw].reshape(shape)
+    gx = jnp.where(act, Gx + damping * x2[0, :hw].reshape(shape), 0.0)
+    gy = jnp.where(act, Gy + damping * x2[1, :hw].reshape(shape), 0.0)
     return gx, gy
 
 

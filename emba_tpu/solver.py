@@ -15,16 +15,20 @@ Re-implements the reference's ``EMBA::solveTimeWindow``
 * per-phase instrumentation mirroring the reference's ENABLE_CHRONO counters
   (``solver.cpp:105-151, 181-222, 242-294``) plus an events/s metric.
 
-The loop runs on the host (cheap scalar decisions, ~50 iterations); all heavy
-phases are jitted device functions from :mod:`emba_tpu.model`.
+The loop runs on the host (cheap scalar decisions, ~50 iterations), but every
+piece of device work is fused into exactly TWO jitted calls per iteration
+(``form_normal_eq`` on accept; the solve+update+trial step always) — on a
+remote-attached TPU, eager dispatches cost more than the math.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import model as M
@@ -69,6 +73,40 @@ class LMStats:
         return out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _init_costs(knots, Gx, Gy, dev, cfg):
+    """Initial linearization + cost (solver.cpp:71-92), one jitted call."""
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
+    return lin, M.data_cost(lin.e, cfg), M.reg_cost(Gx, Gy, cfg.alpha)
+
+
+@partial(jax.jit, static_argnames=("cfg", "fix_first", "use_cg"))
+def _trial_step(knots, Gx, Gy, neq, lam, dev, cfg, damping, fix_first, use_cg):
+    """Solve + trial state + trial evaluation, one jitted call
+    (solver.cpp:189-268). Returns the full trial (reused on accept)."""
+    if use_cg:
+        x1, x2, cg_it, cg_err = M.solve_normal_eq_cg(neq, lam, fix_first)
+    else:
+        x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
+        cg_it = jnp.asarray(0)
+        cg_err = jnp.asarray(0.0, x1.dtype)
+    knots_new = M.update_knots(knots, x1, fix_first)
+    gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq.active)
+    lin_new = M.linearize(knots_new, gx_new, gy_new, dev, cfg, True)
+    cost_data_new = M.data_cost(lin_new.e, cfg)
+    cost_reg_new = M.reg_cost(gx_new, gy_new, cfg.alpha)
+    return (
+        knots_new,
+        gx_new,
+        gy_new,
+        lin_new,
+        cost_data_new,
+        cost_reg_new,
+        cg_it,
+        cg_err,
+    )
+
+
 def solve_window(
     knots,
     Gx,
@@ -94,6 +132,8 @@ def solve_window(
     """
     num_knots = knots.shape[0]
     stats = LMStats(num_events=int(dev_win.pol_signed.shape[0]))
+    dt = Gx.dtype
+    damping = jnp.asarray(damping_factor, dt)
 
     lam = lm.lambda_init
     cost_min_old = 1e99
@@ -102,17 +142,9 @@ def solve_window(
     cost_decreased = True
     it = 0
 
-    def _cost(lin, gx, gy):
-        return (
-            float(M.data_cost(lin.e, cfg)),
-            float(M.reg_cost(gx, gy, cfg.alpha)),
-        )
-
-    # Initial linearization (iter 0 path, solver.cpp:71-92).
     t0 = time.perf_counter()
-    lin = M.linearize(knots, Gx, Gy, dev_win, cfg, need_deriv=True)
-    cost_data, cost_reg = _cost(lin, Gx, Gy)
-    jax.block_until_ready(lin.e)
+    lin, cost_data_j, cost_reg_j = _init_costs(knots, Gx, Gy, dev_win, cfg)
+    cost_data, cost_reg = float(cost_data_j), float(cost_reg_j)
     stats.time_objective_s += time.perf_counter() - t0
     stats.count_objective += 1
     cost_min = cost_data + cost_reg
@@ -133,28 +165,29 @@ def solve_window(
         if callback is not None:
             callback(it, Gx, Gy, dict(lam=lam, cost_min=cost_min))
 
-        # Solve the (damped) normal equations.
+        # Solve + trial state + trial cost in one device call.
         t0 = time.perf_counter()
-        if use_cg:
-            x1, x2, cg_it, cg_err = M.solve_normal_eq_cg(neq, lam, fix_first)
-        else:
-            x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
-            cg_it, cg_err = None, None
-        jax.block_until_ready(x1)
-        stats.time_solve_s += time.perf_counter() - t0
+        (
+            knots_new,
+            gx_new,
+            gy_new,
+            lin_new,
+            cost_data_new_j,
+            cost_reg_new_j,
+            cg_it,
+            cg_err,
+        ) = _trial_step(
+            knots, Gx, Gy, neq, jnp.asarray(lam, dt), dev_win, cfg, damping,
+            fix_first, use_cg,
+        )
+        cost_data_new = float(cost_data_new_j)
+        cost_reg_new = float(cost_reg_new_j)
+        t1 = time.perf_counter()
+        # attribute: solve ~ the Schur/CG part, objective ~ the relinearize;
+        # they are fused, so split the wall time between the two phases.
+        stats.time_solve_s += (t1 - t0) * 0.5
         stats.count_solve += 1
-
-        # Trial state (solver.cpp:226-240).
-        knots_new = M.update_knots(knots, x1, fix_first)
-        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping_factor, neq.active)
-
-        # Trial evaluation WITH derivatives — reused on accept
-        # (solver.cpp:251-268 mirrors evaluateDataError(..., true, ...)).
-        t0 = time.perf_counter()
-        lin_new = M.linearize(knots_new, gx_new, gy_new, dev_win, cfg, True)
-        cost_data_new, cost_reg_new = _cost(lin_new, gx_new, gy_new)
-        jax.block_until_ready(lin_new.e)
-        stats.time_objective_s += time.perf_counter() - t0
+        stats.time_objective_s += (t1 - t0) * 0.5
         stats.count_objective += 1
         cost_new = cost_data_new + cost_reg_new
         it += 1
@@ -167,7 +200,7 @@ def solve_window(
             cost_data=cost_data,
             cost_reg=cost_reg,
         )
-        if cg_it is not None:
+        if use_cg:
             rec["cg_iterations"] = int(cg_it)
             rec["cg_error"] = float(cg_err)
         stats.iterations.append(rec)

@@ -59,8 +59,12 @@ def warp_events(
     else:
         R_b = spline.evaluate(knots, batch_s, batch_u, order, False)
 
-    # Gather rotation components as flat (N,) vectors (no (N,3,3) tensors).
-    R = [[R_b[:, i, j][batch_ids] for j in range(3)] for i in range(3)]
+    # Gather rotation components as (9, N) in ONE gather (no (N,3,3)
+    # tensors; single fused take instead of 9 separate gathers).
+    R9 = jnp.take(
+        jnp.moveaxis(R_b.reshape(-1, 9), -1, 0), batch_ids, axis=1
+    )  # (9, N)
+    R = [[R9[3 * i + j] for j in range(3)] for i in range(3)]
     bx, by, bz = bearings[0], bearings[1], bearings[2]
     x = R[0][0] * bx + R[0][1] * by + R[0][2] * bz
     y = R[1][0] * bx + R[1][1] * by + R[1][2] * bz
@@ -102,21 +106,19 @@ def warp_events(
     prow = ((p00, p01, p02), (p10, p11, p12))
 
     # Chain with the spline knot Jacobians: J_b (NB, order, 3, 3) with
-    # J_b[b, o, k, j] = d(rot)_k / d(knot o pert)_j. Gather each component as
-    # (N,) and expand dpm_dcp[r, 3o+j] = sum_k prow[r][k] * J[o][k][j].
-    out = []
+    # J_b[b, o, k, j] = d(rot)_k / d(knot o pert)_j. One fused gather to
+    # (order*9, N), then expand dpm_dcp[r, 3o+j] = sum_k prow[r][k]*J[o][k][j].
+    Jg = jnp.take(
+        jnp.moveaxis(J_b.reshape(-1, order * 9), -1, 0), batch_ids, axis=1
+    )  # (order*9, N)
+    rows = []
     for r in range(2):
         for o in range(order):
-            cols = []
             for j in range(3):
                 acc = None
                 for k in range(3):
-                    term = J_b[:, o, k, j][batch_ids] * prow[r][k]
+                    term = Jg[9 * o + 3 * k + j] * prow[r][k]
                     acc = term if acc is None else acc + term
-                cols.append(acc)
-            out.append(cols)
-    dpm_dcp = jnp.stack(
-        [jnp.stack([c for cols in out[r * order : (r + 1) * order] for c in cols])
-         for r in range(2)]
-    )  # (2, 3*order, N)
+                rows.append(acc)
+    dpm_dcp = jnp.stack(rows).reshape(2, 3 * order, x.shape[0])
     return (pmx, pmy), cp_idx, dpm_dcp

@@ -118,3 +118,36 @@ def test_ba_small_window_no_nan(setup):
     )
     assert np.isfinite(np.asarray(knots)).all()
     assert np.isfinite(np.asarray(Gx)).all()
+
+
+def test_ba_cubic_spline(setup):
+    """Order-4 (cubic) trajectory end-to-end: linearize + solve one LM step
+    reduces the cost (exercises D=12 Jacobian blocks through the whole
+    normal-equation machinery; reference CubicTrajectory parity)."""
+    rng, sensor, scene, cfg = setup
+    import dataclasses as dc
+
+    cfg4 = dc.replace(cfg, spline_order=4)
+    # refit the GT trajectory as a cubic spline
+    tt = np.linspace(0.0, 1.0, 300)
+    R = np.asarray(scene.traj.evaluate(tt))
+    traj4 = spline.Trajectory.from_poses(tt, R, 0.0, 1.0, 0.05, order=4)
+    pert = np.random.default_rng(1).normal(size=(traj4.num_knots, 3)) * 0.01
+    traj4p = dataclasses.replace(traj4, knots=spline._np_exp(pert) @ traj4.knots)
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj4p.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    knots, Gx, Gy, st = solver.solve_window(
+        jnp.asarray(traj4p.knots),
+        jnp.asarray(scene.gx),
+        jnp.asarray(scene.gy),
+        dev,
+        cfg4,
+        solver.LMConfig(max_num_iter=5),
+        fix_first=True,
+    )
+    assert st.iterations[-1]["cost_min"] < 0.8 * st.iterations[0]["cost_min"]
+    assert np.isfinite(np.asarray(knots)).all()

@@ -5,6 +5,7 @@ residuals, event-count map, normal-equation blocks, and the Schur solve.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -130,16 +131,21 @@ def test_normal_eq_matches_oracle(scene, use_irls, cost_type):
     np.testing.assert_allclose(np.asarray(neq.b1), res["b1"], atol=1e-10)
 
     # compare per-active-pixel quantities
-    act = np.asarray(neq.active)
+    hw = cfg.num_pix
+    act = np.asarray(neq.active)[:hw]
     np.testing.assert_array_equal(act, res["active"])
     a22 = np.stack(
         [np.asarray(neq.a22_xx), np.asarray(neq.a22_xy), np.asarray(neq.a22_yy)],
         axis=-1,
-    )
-    b2 = np.stack([np.asarray(neq.b2_x), np.asarray(neq.b2_y)], axis=-1)
+    )[:hw]
+    b2 = np.stack([np.asarray(neq.b2_x), np.asarray(neq.b2_y)], axis=-1)[:hw]
     dim_pose = 3 * traj.num_knots
-    hw = cfg.num_pix
-    A12 = np.asarray(neq.A12).reshape(dim_pose, 2, hw)
+    A12full = np.asarray(neq.A12)
+    dp_pad = A12full.shape[1] // 2
+    # (HW, 2, dim): planes from the column halves
+    A12 = np.stack(
+        [A12full[:hw, :dim_pose], A12full[:hw, dp_pad : dp_pad + dim_pose]], axis=1
+    )
     for pmpix, ai in res["active_ids"].items():
         blk = res["A22"][ai]
         np.testing.assert_allclose(
@@ -149,10 +155,10 @@ def test_normal_eq_matches_oracle(scene, use_irls, cost_type):
             b2[pmpix], res["b2"][2 * ai : 2 * ai + 2], atol=1e-10
         )
         np.testing.assert_allclose(
-            A12[:, :, pmpix], res["A12"][:, 2 * ai : 2 * ai + 2], atol=1e-9
+            A12[pmpix].T, res["A12"][:, 2 * ai : 2 * ai + 2], atol=1e-9
         )
     # inactive pixels carry no coupling
-    assert np.abs(A12[:, :, ~act]).max() == 0.0
+    assert np.abs(A12[~act]).max() == 0.0
 
 
 @pytest.mark.parametrize("fix_first", [False, True])
@@ -174,13 +180,14 @@ def test_schur_solve_matches_oracle(scene, fix_first):
     )
     ox1, ox2 = oracle.schur_solve(res, lam, fix_first=fix_first)
     np.testing.assert_allclose(np.asarray(x1), ox1, atol=1e-8, rtol=1e-6)
-    x2_np = np.asarray(x2)  # (2, HW)
+    hw = cfg.num_pix
+    x2_np = np.asarray(x2)[:, :hw]  # (2, HW)
     for pmpix, ai in res["active_ids"].items():
         np.testing.assert_allclose(
             x2_np[:, pmpix], ox2[2 * ai : 2 * ai + 2], atol=1e-8, rtol=1e-6
         )
     # inactive pixels receive zero increment
-    assert np.abs(x2_np[:, ~np.asarray(neq.active)]).max() == 0.0
+    assert np.abs(x2_np[:, ~np.asarray(neq.active)[:hw]]).max() == 0.0
 
 
 def test_cg_solve_agrees_with_schur(scene):
@@ -202,3 +209,31 @@ def test_sobel_matches_numpy(scene):
     gx_n, gy_n = synth.sobel_gradients_np(scene.brightness)
     np.testing.assert_allclose(np.asarray(gx_j), gx_n, atol=1e-12)
     np.testing.assert_allclose(np.asarray(gy_j), gy_n, atol=1e-12)
+
+
+def test_form_normal_eq_pallas_path(scene):
+    """The Pallas sorted-accumulation path must produce the same normal
+    equations as the XLA scatter path (kernel runs interpreted on CPU)."""
+    cfg = make_cfg(scene)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    traj, win, dev, lut = build_dev(scene, cfg, perturb=0.01)
+    knots = jnp.asarray(traj.knots, jnp.float32)
+    Gx = jnp.asarray(scene.gx * 0.9, jnp.float32)
+    Gy = jnp.asarray(scene.gy * 0.9, jnp.float32)
+    dev32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, dev
+    )
+    lin = M.linearize(knots, Gx, Gy, dev32, cfg, need_deriv=True)
+    neq0 = M.form_normal_eq(lin, Gx, Gy, cfg, traj.num_knots)
+    neq1 = M.form_normal_eq(lin, Gx, Gy, cfg_p, traj.num_knots)
+    np.testing.assert_allclose(
+        np.asarray(neq1.A11), np.asarray(neq0.A11), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(neq1.A12), np.asarray(neq0.A12), rtol=1e-5, atol=1e-4
+    )
+    for f in ("a22_xx", "a22_xy", "a22_yy", "b2_x", "b2_y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(neq1, f)), np.asarray(getattr(neq0, f)),
+            rtol=1e-5, atol=1e-4,
+        )
