@@ -177,8 +177,6 @@ class EquirectangularCamera:
 def load_camera_yaml(path: str) -> PinholeCamera:
     """Load a ROS-style camera calibration YAML (reference:
     ``calib/DVS-playroom.yaml``). Minimal parser, no yaml dependency."""
-    fields: dict = {}
-    key = None
     with open(path) as f:
         text = f.read()
     import re
@@ -203,5 +201,4 @@ def load_camera_yaml(path: str) -> PinholeCamera:
     D = grab_matrix("distortion_coefficients")
     R = grab_matrix("rectification_matrix")
     P = grab_matrix("projection_matrix")
-    del fields, key
     return PinholeCamera.from_calib(width, height, K=K, D=D, R=R, P=P)

@@ -100,7 +100,10 @@ def _cmd_run(args):
         record_data=args.out is not None,
         record_maps=args.record_maps,
     )
-    res = pipe.run(resume_from=args.resume)
+    from .obs import nan_debug, profiler_trace
+
+    with nan_debug(args.debug_nans), profiler_trace(args.profile_dir):
+        res = pipe.run(resume_from=args.resume)
     eps = res.window_stats[-1].events_per_second() if res.window_stats else {}
     print(
         json.dumps(
@@ -237,6 +240,13 @@ def main(argv=None):
     r.add_argument("--use-cg", action="store_true")
     r.add_argument("--irls", choices=["huber", "cauchy"])
     r.add_argument("--spline-order", dest="spline_order", type=int, choices=[2, 4])
+    r.add_argument(
+        "--debug-nans", action="store_true",
+        help="enable jax_debug_nans (numerical failure detection)",
+    )
+    r.add_argument(
+        "--profile-dir", help="write a jax.profiler trace to this directory"
+    )
     r.set_defaults(fn=_cmd_run)
 
     c = sub.add_parser("convert-bag", help="rosbag -> events.npz")
@@ -265,6 +275,16 @@ def main(argv=None):
     e.add_argument("--gt", required=True)
     e.add_argument("--no-align", action="store_true")
     e.set_defaults(fn=_cmd_eval)
+
+    sv = sub.add_parser("suite", help="synthetic accuracy/throughput suite")
+    sv.add_argument("--out", default="suite_results.json")
+
+    def _cmd_suite(a):
+        from .eval_suite import run_suite
+
+        run_suite(a.out)
+
+    sv.set_defaults(fn=_cmd_suite)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -5,7 +5,7 @@ is designed fresh for TPU:
 
 * mesh axes ``("ev", "tile")`` — events (the "sequence"/data axis) sharded
   over ``ev``; the panorama pixel domain (A12/A22/b2/x2, the tensor-parallel
-  axis) sharded over ``tile``; the pose system (A11, S, x1: ~3K x 3K小)
+  axis) sharded over ``tile``; the pose system (A11, S, x1: ~300 x 300)
   replicated,
 * the distributed Gauss-Newton reduction is expressed through GSPMD: inputs
   carry ``NamedSharding``s and intermediate constraints
@@ -21,7 +21,7 @@ PP = pipelining successive sliding windows (host-level, see pipeline.py).
 
 from __future__ import annotations
 
-import dataclasses
+
 from functools import partial
 
 import jax

@@ -1,0 +1,151 @@
+"""Synthetic evaluation suite: the stand-in for the ECRot accuracy contract.
+
+The real ECRot/ECD bags cannot be downloaded in this sandbox (zero egress),
+so this suite renders six synthetic rotating-camera sequences (different
+textures/motions), perturbs the GT trajectory like an imperfect front-end,
+runs the full BA, and reports rotation RMSE (init -> refined) plus the
+event-based photometric error (init -> refined) — the two quantities of the
+paper's "Quantitative Results" table (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import metrics, model, pairing, solver, spline, synth
+
+SEQUENCES = {
+    # name: (seed, motion_amp, texture_smooth, texture_amp, duration)
+    "synth_slow": (1, 0.15, 3, 3.0, 1.0),
+    "synth_medium": (2, 0.25, 3, 3.0, 1.0),
+    "synth_fast": (3, 0.40, 3, 3.0, 1.0),
+    "synth_fine_texture": (4, 0.25, 2, 3.5, 1.0),
+    "synth_coarse_texture": (5, 0.25, 5, 2.5, 1.0),
+    "synth_long": (6, 0.25, 3, 3.0, 2.0),
+}
+
+
+def run_sequence(
+    name: str,
+    seed: int,
+    motion: float,
+    smooth: int,
+    amp: float,
+    duration: float,
+    pano_height: int = 128,
+    sensor: int = 48,
+    perturb: float = 0.02,
+    max_iter: int = 30,
+    dtype=None,
+) -> dict:
+    if dtype is None:
+        dtype = jnp.float32
+    rng = np.random.default_rng(seed)
+    cam = synth.default_sensor(sensor, sensor, f=sensor * 0.9)
+    B = synth.smooth_random_map(pano_height, 2 * pano_height, rng, smooth, amp)
+    scene = synth.generate(
+        rng,
+        cam,
+        pano_width=2 * pano_height,
+        pano_height=pano_height,
+        c_th=0.1,
+        t_end=duration,
+        dt_knots=0.05,
+        num_steps=int(600 * duration),
+        motion_amp=motion,
+        brightness=B,
+    )
+    cfg = model.ModelConfig(
+        c_th=0.1,
+        pano_width=2 * pano_height,
+        pano_height=pano_height,
+        thres_valid_pixel=3,
+        alpha=0.5,
+        outlier_dp_norm=3.0,
+    )
+    # front-end-like perturbation: smooth random walk on the knots
+    steps = rng.normal(size=(scene.traj.num_knots, 3)) * perturb
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, cam.width, traj0.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(win, cam.bearing_lut(), cam.width, dtype)
+    # Bucket the event count so sequences share compiled programs (remote
+    # compiles cost minutes; padded events are masked out).
+    from .dist import pad_window
+
+    dev = pad_window(dev, 1 << 17)
+    tt = np.linspace(0.02 * duration, 0.98 * duration, 300)
+    R_gt = np.asarray(scene.traj.evaluate(tt))
+
+    # photometric error at init
+    lin0 = model.linearize(
+        jnp.asarray(traj0.knots, dtype),
+        jnp.asarray(scene.gx, dtype),
+        jnp.asarray(scene.gy, dtype),
+        dev,
+        cfg,
+        need_deriv=False,
+    )
+    pe0 = metrics.photometric_error(lin0.e)
+
+    t0 = time.perf_counter()
+    knots, Gx, Gy, st = solver.solve_window(
+        jnp.asarray(traj0.knots, dtype),
+        jnp.asarray(scene.gx, dtype),
+        jnp.asarray(scene.gy, dtype),
+        dev,
+        cfg,
+        solver.LMConfig(max_num_iter=max_iter),
+        fix_first=True,
+    )
+    wall = time.perf_counter() - t0
+    st.num_events = win.num_events  # report real (unpadded) throughput
+    trajR = dataclasses.replace(traj0, knots=np.asarray(knots, np.float64))
+    lin1 = model.linearize(knots, Gx, Gy, dev, cfg, need_deriv=False)
+
+    return dict(
+        sequence=name,
+        num_events=win.num_events,
+        rmse_init_deg=metrics.trajectory_rmse_deg(traj0, tt, R_gt),
+        rmse_refined_deg=metrics.trajectory_rmse_deg(trajR, tt, R_gt),
+        photometric_init=pe0,
+        photometric_refined=metrics.photometric_error(lin1.e),
+        lm_iterations=len(st.iterations),
+        converged=st.converged,
+        wall_s=wall,
+        events_per_s=st.events_per_second()["total"],
+    )
+
+
+def run_suite(out_path: str | None = None, **kw) -> list[dict]:
+    results = []
+    for name, (seed, motion, smooth, amp, duration) in SEQUENCES.items():
+        res = run_sequence(name, seed, motion, smooth, amp, duration, **kw)
+        results.append(res)
+        print(
+            f"{name}: rmse {res['rmse_init_deg']:.3f} -> "
+            f"{res['rmse_refined_deg']:.3f} deg | photometric "
+            f"{res['photometric_init']:.1f} -> {res['photometric_refined']:.1f} "
+            f"| {res['lm_iterations']} iters, {res['wall_s']:.1f}s",
+            flush=True,
+        )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+
+    run_suite(sys.argv[1] if len(sys.argv) > 1 else "suite_results.json")

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import io as eio
-from . import metrics, model, pairing, recon, solver, spline
+from . import model, pairing, recon, solver, spline
 from .camera import PinholeCamera
 from .config import BAConfig
 

@@ -13,7 +13,7 @@ import dataclasses
 import numpy as np
 
 from . import io as eio
-from . import lie, spline
+from . import spline
 
 
 @dataclasses.dataclass

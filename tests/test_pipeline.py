@@ -213,3 +213,52 @@ def test_png_write(tmp_path):
     rgb = eio.gradient_hsv_image(img, img[::-1])
     eio.save_png(str(tmp_path / "b.png"), rgb)
     assert (tmp_path / "b.png").exists()
+
+
+def test_pose_manager(tmp_path):
+    from emba_tpu import lie
+    from emba_tpu.poses import PoseManager
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    times = np.linspace(0.0, 1.0, 11)
+    R = np.asarray(lie.exp(jnp.asarray(rng.normal(size=(11, 3)) * 0.2)))
+    eio.save_tum_trajectory(str(tmp_path / "p.txt"), times, R)
+    pm = PoseManager.from_tum(str(tmp_path / "p.txt"))
+    assert len(pm) == 11
+    # interpolation hits the endpoints exactly
+    np.testing.assert_allclose(pm.pose_at(0.0), R[0], atol=1e-9)
+    np.testing.assert_allclose(pm.pose_at(1.0), R[-1], atol=1e-9)
+    np.testing.assert_allclose(pm.pose_at(0.3), R[3], atol=1e-9)
+    # clamping outside the span
+    np.testing.assert_allclose(pm.pose_at(-5.0), R[0], atol=1e-12)
+    # subset semantics: strict bounds
+    sub = pm.subset(0.05, 0.55)
+    assert len(sub) == 5
+    # midpoint interpolation is on the geodesic
+    mid = pm.pose_at(0.35)
+    expect = np.asarray(
+        lie.slerp(jnp.asarray(R[3]), jnp.asarray(R[4]), jnp.asarray(0.5))
+    )
+    np.testing.assert_allclose(mid, expect, atol=1e-9)
+
+
+def test_viz_renders(dataset):
+    from emba_tpu import viz
+    from emba_tpu.camera import EquirectangularCamera, load_camera_yaml
+    from emba_tpu.spline import Trajectory
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    cam = load_camera_yaml(str(dataset / "calib.yaml"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    traj = Trajectory.from_poses(times, rots, 0.0, 0.6, 0.05)
+    pano = EquirectangularCamera(gx.shape[1], gx.shape[0])
+    canvas = viz.render_warped_events(
+        gx, traj, cam, pano, t[:5000], x[:5000], y[:5000], pol[:5000]
+    )
+    assert canvas.shape == gx.shape + (3,)
+    assert (canvas == (255, 0, 0)).all(axis=-1).any()  # some positive events
+    R0 = np.asarray(traj.evaluate(0.3))[0]
+    marked = viz.draw_sensor_fov(canvas, R0, cam, pano)
+    assert (marked == (0, 255, 0)).all(axis=-1).any()
