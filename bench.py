@@ -126,6 +126,9 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         thres_valid_pixel=3,
         alpha=0.5,
         outlier_dp_norm=3.0,
+        # Pallas sorted-accumulation kernel for A12 (TPU, f32): ~3x faster
+        # normal-eq forming than the XLA scatter.
+        use_pallas=(jax.default_backend() == "tpu" and dtype_str == "float32"),
     )
     win = pairing.build_window(
         data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],

@@ -63,8 +63,18 @@ class BAConfig:
 
     # Numerics
     dtype: str = "float32"
+    # Pallas A12 kernel: None = auto (on for TPU + float32), else force.
+    use_pallas: bool | None = None
 
     def model_config(self) -> ModelConfig:
+        if self.use_pallas is None:
+            import jax
+
+            use_pallas = (
+                jax.default_backend() == "tpu" and self.dtype == "float32"
+            )
+        else:
+            use_pallas = self.use_pallas
         return ModelConfig(
             c_th=self.c_th,
             pano_width=self.pano_width,
@@ -76,6 +86,7 @@ class BAConfig:
             cost_type=self.cost_type if self.use_irls else "quadratic",
             eta=self.eta if self.use_irls else 1.0,
             spline_order=self.spline_order,
+            use_pallas=use_pallas,
         )
 
     def lm_config(self) -> LMConfig:

@@ -60,6 +60,8 @@ def run_sequence(
         motion_amp=motion,
         brightness=B,
     )
+    import jax
+
     cfg = model.ModelConfig(
         c_th=0.1,
         pano_width=2 * pano_height,
@@ -67,6 +69,7 @@ def run_sequence(
         thres_valid_pixel=3,
         alpha=0.5,
         outlier_dp_norm=3.0,
+        use_pallas=(jax.default_backend() == "tpu" and dtype == jnp.float32),
     )
     # front-end-like perturbation: smooth random walk on the knots
     steps = rng.normal(size=(scene.traj.num_knots, 3)) * perturb
