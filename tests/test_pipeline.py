@@ -262,3 +262,28 @@ def test_viz_renders(dataset):
     R0 = np.asarray(traj.evaluate(0.3))[0]
     marked = viz.draw_sensor_fov(canvas, R0, cam, pano)
     assert (marked == (0, 255, 0)).all(axis=-1).any()
+
+
+def test_cli_run_from_bag(dataset, tmp_path, capsys):
+    """End-to-end with rosbag input (the reference's native input format)."""
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    bag = tmp_path / "events.bag"
+    rb.write_rosbag(str(bag), "/dvs/events", t, x, y, pol, width=40, height=40)
+    res = tmp_path / "res_bag"
+    cli.main(
+        [
+            "run",
+            "--events", str(bag),
+            "--poses", str(dataset / "traj_gt.txt"),
+            "--map-gx", str(dataset / "Gx.bin"),
+            "--map-gy", str(dataset / "Gy.bin"),
+            "--calib", str(dataset / "calib.yaml"),
+            "--out", str(res),
+            "--start-time", "0.02", "--stop-time", "0.58",
+            "--c-th", "0.1", "--alpha", "0.5",
+            "--max-num-iter", "2", "--dtype", "float64",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["windows"] == 1
+    assert (res / "final_results" / "trajectory_refined.txt").exists()
