@@ -28,6 +28,28 @@ def _cmd_run(args):
     from .pipeline import EmbaPipeline
 
     cfg = C.preset(args.preset) if args.preset else C.BAConfig()
+
+    # Reference directory-layout mode (docs/execution.md in the reference;
+    # emba.cpp:252-253,535-543 and pose_manager.cpp:47-51): given the three
+    # root dirs + front-end name, derive all input paths.
+    if args.dataset_root_dir or args.input_data_dir:
+        if not args.preset:
+            sys.exit("--dataset-root-dir/--input-data-dir require --preset")
+        seq, ds = cfg.sequence, cfg.dataset
+        ft = args.filename_raw_traj
+        if args.dataset_root_dir and not args.events:
+            args.events = f"{args.dataset_root_dir}/{ds}/{seq}/events.bag"
+        if args.input_data_dir:
+            if not args.poses:
+                args.poses = (
+                    f"{args.input_data_dir}/{ds}/{seq}/traj/interpolation/{ft}.txt"
+                )
+            map_dir = f"{args.input_data_dir}/{ds}/{seq}/map/frontend/{ft}/bin"
+            if not args.map_gx and os.path.exists(f"{map_dir}/Gx.bin"):
+                args.map_gx = f"{map_dir}/Gx.bin"
+                args.map_gy = f"{map_dir}/Gy.bin"
+    if not args.events or not args.poses:
+        sys.exit("need --events and --poses (or the reference-layout dirs)")
     for k in (
         "start_time",
         "stop_time",
@@ -216,8 +238,21 @@ def main(argv=None):
 
     r = sub.add_parser("run", help="run EMBA on a sequence")
     r.add_argument("--preset", help="sequence preset (e.g. bicycle, playroom)")
-    r.add_argument("--events", required=True, help="events .npz or .bag")
-    r.add_argument("--poses", required=True, help="front-end TUM trajectory txt")
+    r.add_argument("--events", help="events .npz or .bag")
+    r.add_argument("--poses", help="front-end TUM trajectory txt")
+    r.add_argument(
+        "--dataset-root-dir", dest="dataset_root_dir",
+        help="reference-layout dataset root (events at <root>/<ds>/<seq>/events.bag)",
+    )
+    r.add_argument(
+        "--input-data-dir", dest="input_data_dir",
+        help="reference-layout input root (traj/interpolation + map/frontend)",
+    )
+    r.add_argument(
+        "--filename-raw-traj", dest="filename_raw_traj",
+        default="cmaxw_traj_interp",
+        help="front-end trajectory name in the reference layout",
+    )
     r.add_argument("--map-gx")
     r.add_argument("--map-gy")
     r.add_argument("--calib", help="camera calibration YAML")

@@ -287,3 +287,42 @@ def test_cli_run_from_bag(dataset, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["windows"] == 1
     assert (res / "final_results" / "trajectory_refined.txt").exists()
+
+
+def test_cli_reference_layout(dataset, tmp_path, capsys):
+    """The reference's on-disk directory convention resolves all inputs."""
+    import shutil
+
+    ds_root = tmp_path / "datasets"
+    in_root = tmp_path / "inputs"
+    seq_dir = ds_root / "ECRot_dataset" / "playroom"
+    seq_dir.mkdir(parents=True)
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    rb.write_rosbag(str(seq_dir / "events.bag"), "/dvs/events", t + 0.0, x, y, pol,
+                    width=40, height=40)
+    traj_dir = in_root / "ECRot_dataset" / "playroom" / "traj" / "interpolation"
+    traj_dir.mkdir(parents=True)
+    shutil.copy(dataset / "traj_gt.txt", traj_dir / "cmaxw_traj_interp.txt")
+    map_dir = (in_root / "ECRot_dataset" / "playroom" / "map" / "frontend"
+               / "cmaxw_traj_interp" / "bin")
+    map_dir.mkdir(parents=True)
+    shutil.copy(dataset / "Gx.bin", map_dir / "Gx.bin")
+    shutil.copy(dataset / "Gy.bin", map_dir / "Gy.bin")
+
+    res = tmp_path / "res_layout"
+    cli.main(
+        [
+            "run",
+            "--preset", "playroom",
+            "--dataset-root-dir", str(ds_root),
+            "--input-data-dir", str(in_root),
+            "--calib", str(dataset / "calib.yaml"),
+            "--events-topic", "/dvs/events",
+            "--out", str(res),
+            "--start-time", "0.02", "--stop-time", "0.58",
+            "--c-th", "0.1", "--alpha", "0.5",
+            "--max-num-iter", "2", "--dtype", "float64",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["windows"] == 1
