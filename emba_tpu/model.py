@@ -631,18 +631,42 @@ def solve_normal_eq_cg(
     b2y = neq.b2_y * act
     bnorm2 = jnp.sum(b1 * b1) + jnp.sum(b2x * b2x) + jnp.sum(b2y * b2y)
 
+    # Block-Jacobi preconditioner: exact A11m (one small Cholesky, reused
+    # every iteration) and exact per-pixel 2x2 A22m blocks. The reference's
+    # plain Eigen CG (model.cpp:827-833) routinely exhausts its 100
+    # iterations on this badly-scaled system; the block preconditioner is
+    # the TPU-shaped fix (one 3Kx3K triangular solve + elementwise 2x2) and
+    # changes only the iteration path, not the solution.
+    eps11 = 1e-10 * jnp.maximum(jnp.max(jnp.diag(A11m)), 1.0) + 1e-30
+    chol11 = jax.scipy.linalg.cho_factor(
+        A11m + eps11 * jnp.eye(dim, dtype=dt)
+    )
+    det22 = axx * ayy - axy * axy
+    det22_safe = jnp.where(jnp.abs(det22) < 1e-30, 1.0, det22)
+    inv_ok = neq.active & (jnp.abs(det22) >= 1e-30)
+    i00 = jnp.where(inv_ok, ayy / det22_safe, 1.0)
+    i01 = jnp.where(inv_ok, -axy / det22_safe, 0.0)
+    i11 = jnp.where(inv_ok, axx / det22_safe, 1.0)
+
+    def precond(r1, r2x, r2y):
+        z1 = jax.scipy.linalg.cho_solve(chol11, r1)
+        return z1, i00 * r2x + i01 * r2y, i01 * r2x + i11 * r2y
+
     def body(state):
-        x1, x2x, x2y, r1, r2x, r2y, p1, p2x, p2y, rs, it = state
+        x1, x2x, x2y, r1, r2x, r2y, p1, p2x, p2y, rz, rs, it = state
         ap1, ap2x, ap2y = matvec(p1, p2x, p2y)
         denom = jnp.sum(p1 * ap1) + jnp.sum(p2x * ap2x) + jnp.sum(p2y * ap2y)
-        alpha_ = rs / (denom + 1e-300)
+        alpha_ = rz / (denom + 1e-300)
         x1, x2x, x2y = x1 + alpha_ * p1, x2x + alpha_ * p2x, x2y + alpha_ * p2y
         r1, r2x, r2y = r1 - alpha_ * ap1, r2x - alpha_ * ap2x, r2y - alpha_ * ap2y
+        z1, z2x, z2y = precond(r1, r2x, r2y)
+        rz_new = jnp.sum(r1 * z1) + jnp.sum(r2x * z2x) + jnp.sum(r2y * z2y)
         rs_new = jnp.sum(r1 * r1) + jnp.sum(r2x * r2x) + jnp.sum(r2y * r2y)
-        beta = rs_new / (rs + 1e-300)
+        beta = rz_new / (rz + 1e-300)
         return (
             x1, x2x, x2y, r1, r2x, r2y,
-            r1 + beta * p1, r2x + beta * p2x, r2y + beta * p2y, rs_new, it + 1,
+            z1 + beta * p1, z2x + beta * p2x, z2y + beta * p2y,
+            rz_new, rs_new, it + 1,
         )
 
     def cond(state):
@@ -651,7 +675,11 @@ def solve_normal_eq_cg(
 
     z1 = jnp.zeros_like(b1)
     zx = jnp.zeros_like(b2x)
-    state = (z1, zx, zx, b1, b2x, b2y, b1, b2x, b2y, bnorm2, jnp.asarray(0))
+    pz1, pz2x, pz2y = precond(b1, b2x, b2y)
+    rz0 = jnp.sum(b1 * pz1) + jnp.sum(b2x * pz2x) + jnp.sum(b2y * pz2y)
+    state = (
+        z1, zx, zx, b1, b2x, b2y, pz1, pz2x, pz2y, rz0, bnorm2, jnp.asarray(0)
+    )
     x1, x2x, x2y, *_, rs, it = jax.lax.while_loop(cond, body, state)
     return (
         x1,
