@@ -225,3 +225,98 @@ def solve_window(
             count_tol_sat = 0
 
     return knots, Gx, Gy, stats
+
+
+# ---------------------------------------------------------------------------
+# Fully on-device LM (one jitted while_loop per window).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "fix_first", "use_cg", "max_num_iter",
+                     "num_times_tol_fun_sat"),
+)
+def solve_window_fused(
+    knots,
+    Gx,
+    Gy,
+    dev_win: M.DeviceWindow,
+    cfg: M.ModelConfig,
+    damping,
+    tol_fun,
+    fix_first: bool = False,
+    use_cg: bool = False,
+    max_num_iter: int = 50,
+    num_times_tol_fun_sat: int = 2,
+):
+    """The whole LM window as ONE device program (`lax.while_loop`):
+    identical control flow to :func:`solve_window` (reference
+    solver.cpp:11-368) but with zero host round-trips — the right shape for
+    production serving and for small windows where dispatch latency
+    dominates.
+
+    Returns (knots, Gx, Gy, cost_min, iterations_used, converged).
+    """
+    dt = Gx.dtype
+    num_knots = knots.shape[0]
+
+    lin0 = M.linearize(knots, Gx, Gy, dev_win, cfg, True)
+    cost0 = M.data_cost(lin0.e, cfg) + M.reg_cost(Gx, Gy, cfg.alpha)
+    neq0 = M.form_normal_eq(lin0, Gx, Gy, cfg, num_knots)
+
+    def lm_iter(state):
+        (knots, Gx, Gy, lin, neq, lam, cost_min, count_tol, it, converged) = state
+
+        if use_cg:
+            x1, x2, _, _ = M.solve_normal_eq_cg(neq, lam, fix_first)
+        else:
+            x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
+        knots_new = M.update_knots(knots, x1, fix_first)
+        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq.active)
+        lin_new = M.linearize(knots_new, gx_new, gy_new, dev_win, cfg, True)
+        cost_new = M.data_cost(lin_new.e, cfg) + M.reg_cost(
+            gx_new, gy_new, cfg.alpha
+        )
+
+        accept = cost_new < cost_min
+        # accept: take trial state, relinearized normal eq, lam /= 10
+        # reject: keep state, same normal eq, lam *= 10 (solver.cpp:299-352)
+        neq_new = jax.lax.cond(
+            accept,
+            lambda: M.form_normal_eq(lin_new, gx_new, gy_new, cfg, num_knots),
+            lambda: neq,
+        )
+        knots = jnp.where(accept, knots_new, knots)
+        Gx = jnp.where(accept, gx_new, Gx)
+        Gy = jnp.where(accept, gy_new, Gy)
+        lin = jax.tree.map(lambda a, b: jnp.where(accept, a, b), lin_new, lin)
+        lam = jnp.where(accept, lam / 10.0, lam * 10.0)
+        rel = jnp.abs(1.0 - cost_new / (cost_min + 1e-10))
+        count_tol = jnp.where(
+            accept, jnp.where(rel < tol_fun, count_tol + 1, 0), 0
+        )
+        converged = count_tol >= num_times_tol_fun_sat
+        cost_min = jnp.where(accept, cost_new, cost_min)
+        return (knots, Gx, Gy, lin, neq_new, lam, cost_min, count_tol,
+                it + 1, converged)
+
+    def cond(state):
+        lam, cost_min, it, converged = state[5], state[6], state[8], state[9]
+        return (
+            (it <= max_num_iter)
+            & (cost_min > 1e-16)
+            & (lam <= 1e3)
+            & (lam >= 1e-300)
+            & jnp.logical_not(converged)
+        )
+
+    state0 = (
+        knots, Gx, Gy, lin0, neq0,
+        jnp.asarray(1e-3, dt), cost0, jnp.asarray(0), jnp.asarray(0),
+        jnp.asarray(False),
+    )
+    knots, Gx, Gy, _lin, _neq, _lam, cost_min, _ct, it, converged = (
+        jax.lax.while_loop(cond, lm_iter, state0)
+    )
+    return knots, Gx, Gy, cost_min, it, converged

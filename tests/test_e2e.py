@@ -151,3 +151,36 @@ def test_ba_cubic_spline(setup):
     )
     assert st.iterations[-1]["cost_min"] < 0.8 * st.iterations[0]["cost_min"]
     assert np.isfinite(np.asarray(knots)).all()
+
+
+def test_fused_solver_matches_host_loop(setup):
+    """The on-device while_loop LM must follow the same accept/reject path
+    as the host-driven loop (same final cost within float tolerance)."""
+    rng, sensor, scene, cfg = setup
+    steps = np.random.default_rng(7).normal(size=(scene.traj.num_knots, 3)) * 0.015
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj0.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    k0 = jnp.asarray(traj0.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    kh, gxh, gyh, st = solver.solve_window(
+        k0, Gx, Gy, dev, cfg, solver.LMConfig(max_num_iter=8), fix_first=True
+    )
+    kf, gxf, gyf, cost_f, it_f, conv_f = solver.solve_window_fused(
+        k0, Gx, Gy, dev, cfg, jnp.asarray(1.0), jnp.asarray(1e-3),
+        fix_first=True, max_num_iter=8,
+    )
+    assert int(it_f) == len(st.iterations)
+    np.testing.assert_allclose(
+        float(cost_f), st.iterations[-1]["cost_min"], rtol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(kf), np.asarray(kh), atol=1e-10)
