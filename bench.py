@@ -141,6 +141,52 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
     Gy = jnp.asarray(data["gy"], dtype)
     k0 = jnp.asarray(traj0.knots, dtype)
 
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    if fused:
+        import jax.numpy as jnp2
+
+        damping = jnp2.asarray(1.0, dtype)
+        tolf = jnp2.asarray(0.0, dtype)  # disable early convergence
+        # warm the host-loop programs too (used for the phase breakdown)
+        solver.solve_window(
+            k0, Gx, Gy, dev, cfg, solver.LMConfig(max_num_iter=1),
+            fix_first=True,
+        )
+        # warmup (compile): max_num_iter is static, so warm with the SAME
+        # value as the timed call
+        out = solver.solve_window_fused(
+            k0, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+            max_num_iter=lm_iters,
+        )
+        jax.block_until_ready(out[0])
+        float(out[3])
+        t0 = time.perf_counter()
+        kf, gxf, gyf, cost_min, it, conv = solver.solve_window_fused(
+            k0, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+            max_num_iter=lm_iters,
+        )
+        n_it = int(it)
+        cost_last = float(cost_min)
+        wall = time.perf_counter() - t0
+        total_eps = n * n_it / wall
+        # phase breakdown from one host-driven solve (already warm)
+        _k, _gx, _gy, stats = solver.solve_window(
+            k0, Gx, Gy, dev, cfg, solver.LMConfig(max_num_iter=lm_iters),
+            fix_first=True,
+        )
+        phases = stats.events_per_second()
+        phases["total_host_loop"] = phases.pop("total")
+        phases["total"] = total_eps
+        phases["mode"] = "fused"
+        return dict(
+            num_events=n,
+            lm_iterations=n_it,
+            wall_s=wall,
+            events_per_s=phases,
+            cost_first=stats.iterations[0]["cost_min"],
+            cost_last=cost_last,
+        )
+
     # Warm up ALL jitted phases with a 1-iteration throwaway solve
     # (excludes compile time — which goes through a slow remote service —
     # from the measurement).

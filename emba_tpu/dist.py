@@ -147,7 +147,13 @@ def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first:
 
     Returns step(knots, Gx, Gy, dev_win, lam) ->
       (knots_new, Gx_new, Gy_new, cost_new, lin_new-cost-pieces).
+
+    The Pallas A12 kernel is single-device; the sharded step always uses the
+    XLA path (GSPMD partitions it automatically).
     """
+    import dataclasses as _dc
+
+    cfg = _dc.replace(cfg, use_pallas=False)
 
     @partial(jax.jit, static_argnames=())
     def step(knots, Gx, Gy, dev_win: M.DeviceWindow, lam):
