@@ -165,7 +165,6 @@ def a12_accumulate(
         ],
         axis=0,
     )  # (np_rows, N)
-    payload_s = jnp.take(payload, sort_idx, axis=1)
 
     # ---- re-layout into per-tile buckets padded to MC ---------------------
     tile_edges = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE_PX
@@ -182,16 +181,20 @@ def a12_accumulate(
     rank = jnp.arange(n, dtype=jnp.int32) - tile_start[tile_of_m]
     dest = padded_off[tile_of_m] + rank  # (N,) destination slot (unique)
 
-    # Inverse permutation (one int scatter), then bucket fill via gathers.
+    # Inverse permutation (one int scatter), then ONE fused gather: compose
+    # padded-slot -> sorted-pos -> original-index so the big payload is
+    # gathered once instead of twice.
     src = jnp.full((n_padded,), n, jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
+    sort_ext = jnp.concatenate([sort_idx.astype(jnp.int32), jnp.full((1,), n, jnp.int32)])
+    src_orig = jnp.take(sort_ext, src)  # padded slot -> original index (n = fill)
     pix_ext = jnp.concatenate([pix_s.astype(jnp.float32), jnp.full((1,), -1.0)])
     payload_ext = jnp.concatenate(
-        [payload_s, jnp.zeros((np_rows, 1), jnp.float32)], axis=1
+        [payload, jnp.zeros((np_rows, 1), jnp.float32)], axis=1
     )
     pixf_b = jnp.take(pix_ext, src)
-    payload_b = jnp.take(payload_ext, src, axis=1)
+    payload_b = jnp.take(payload_ext, src_orig, axis=1)
 
     # ---- per-chunk output tile --------------------------------------------
     n_chunks = n_padded // MC
