@@ -65,6 +65,10 @@ class BAConfig:
     dtype: str = "float32"
     # Pallas A12 kernel: None = auto (on for TPU + float32), else force.
     use_pallas: bool | None = None
+    # Run each window's LM fully on device (lax.while_loop): fastest, but
+    # per-iteration logs/timings are unavailable. Auto-selected by the
+    # pipeline when not recording data.
+    fused_lm: bool | None = None
 
     def model_config(self) -> ModelConfig:
         if self.use_pallas is None:

@@ -256,18 +256,50 @@ class EmbaPipeline:
                         f"{np.log10(info['lam']):.2f} cost_min={info['cost_min']}\n"
                     )
 
-            knots, gx_j, gy_j, stats = solver.solve_window(
-                jnp.asarray(seg.knots, self.dtype),
-                jnp.asarray(self.gx, self.dtype),
-                jnp.asarray(self.gy, self.dtype),
-                dev,
-                mcfg,
-                lm,
-                damping_factor=cfg.damping_factor,
-                fix_first=first_window,
-                use_cg=cfg.use_cg,
-                callback=cb,
+            fused = (
+                cfg.fused_lm
+                if cfg.fused_lm is not None
+                else not self.record_data
             )
+            if fused:
+                t0 = time.perf_counter()
+                knots, gx_j, gy_j, cost_min, n_it, conv = (
+                    solver.solve_window_fused(
+                        jnp.asarray(seg.knots, self.dtype),
+                        jnp.asarray(self.gx, self.dtype),
+                        jnp.asarray(self.gy, self.dtype),
+                        dev,
+                        mcfg,
+                        jnp.asarray(cfg.damping_factor, self.dtype),
+                        jnp.asarray(cfg.tol_fun, self.dtype),
+                        fix_first=first_window,
+                        use_cg=cfg.use_cg,
+                        max_num_iter=cfg.max_num_iter,
+                        num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
+                    )
+                )
+                stats = solver.LMStats(num_events=win.num_events)
+                stats.converged = bool(conv)
+                stats.count_objective = int(n_it)
+                stats.count_form = stats.count_solve = int(n_it)
+                wall = time.perf_counter() - t0
+                stats.time_objective_s = wall / 3
+                stats.time_form_s = wall / 3
+                stats.time_solve_s = wall / 3
+                stats.iterations = [dict(iter=int(n_it), cost_min=float(cost_min))]
+            else:
+                knots, gx_j, gy_j, stats = solver.solve_window(
+                    jnp.asarray(seg.knots, self.dtype),
+                    jnp.asarray(self.gx, self.dtype),
+                    jnp.asarray(self.gy, self.dtype),
+                    dev,
+                    mcfg,
+                    lm,
+                    damping_factor=cfg.damping_factor,
+                    fix_first=first_window,
+                    use_cg=cfg.use_cg,
+                    callback=cb,
+                )
             self.gx, self.gy = np.asarray(gx_j), np.asarray(gy_j)
             seg = dataclasses.replace(seg, knots=np.asarray(knots, np.float64))
             self.traj.replace_with(seg, seg.num_knots, 0, idx_cp_beg)
