@@ -274,6 +274,7 @@ def main():
                 "detail": {
                     "num_events": res["num_events"],
                     "lm_iterations": res["lm_iterations"],
+                    "lm_iters_per_s": res["lm_iterations"] / res["wall_s"],
                     "wall_s": res["wall_s"],
                     "phase_events_per_s": res["events_per_s"],
                     "cpu_baseline_events_per_s": baseline_eps,
