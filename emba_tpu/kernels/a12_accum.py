@@ -50,6 +50,7 @@ def _kernel(
     # outputs (blocked VMEM, dynamically tile-indexed)
     a12_ref,  # (TILE_PX, 2*dp_pad)
     px5_ref,  # (TILE_PX, 8)
+    a11_ref,  # (dp_pad + 8, dp_pad): rows [0:dp_pad) = A11, row dp_pad = b1
     *,
     dp_pad: int,
     order: int,
@@ -57,13 +58,18 @@ def _kernel(
     i = pl.program_id(0)
     tile = tile_of_chunk_ref[i]
 
-    # Zero the output block on first visit of this tile.
+    # Zero the output block on first visit of this tile; the A11 block maps
+    # to a constant index so it is zeroed once and revisited by every chunk.
     is_first = jnp.logical_or(i == 0, tile_of_chunk_ref[jnp.maximum(i - 1, 0)] != tile)
 
     @pl.when(is_first)
     def _():
         a12_ref[...] = jnp.zeros_like(a12_ref)
         px5_ref[...] = jnp.zeros_like(px5_ref)
+
+    @pl.when(i == 0)
+    def _():
+        a11_ref[...] = jnp.zeros_like(a11_ref)
 
     d = 3 * order
     col_ids_f = jax.lax.broadcasted_iota(jnp.int32, (1, dp_pad), 1).astype(
@@ -78,13 +84,17 @@ def _kernel(
     colp = payload_ref[1, :] * 3.0
     wdx = payload_ref[2 + 2 * d, :]
     wdy = payload_ref[3 + 2 * d, :]
+    sw = payload_ref[9 + 2 * d, :]  # sqrt(w)
+    swe = payload_ref[10 + 2 * d, :]  # sqrt(w) * e
 
     # U strips (MC, dp_pad): one one-hot compare per half at the block start
     # column, then static lane-rolls place the D consecutive components.
+    # us = sqrt(w) * measurement rows (for A11 = us^T us, b1 = (sw e)^T us).
     base_c = (col_ids_f == colc[:, None]).astype(jnp.float32)
     base_p = (col_ids_f == colp[:, None]).astype(jnp.float32)
     ux = jnp.zeros((MC, dp_pad), jnp.float32)
     uy = jnp.zeros((MC, dp_pad), jnp.float32)
+    us = jnp.zeros((MC, dp_pad), jnp.float32)
     for j in range(d):
         oc = base_c if j == 0 else pltpu.roll(base_c, j, 1)
         op = base_p if j == 0 else pltpu.roll(base_p, j, 1)
@@ -92,6 +102,7 @@ def _kernel(
         jp_j = payload_ref[2 + d + j, :]
         ux = ux + oc * (jc_j * wdx)[:, None] + op * (jp_j * wdx)[:, None]
         uy = uy + oc * (jc_j * wdy)[:, None] + op * (jp_j * wdy)[:, None]
+        us = us + oc * (jc_j * sw)[:, None] + op * (jp_j * sw)[:, None]
 
     # In-tile pixel one-hot (padding slots carry pixf = -1 -> all-zero row).
     plocal = pixf - jnp.float32(TILE_PX) * tile.astype(jnp.float32)
@@ -103,11 +114,19 @@ def _kernel(
     a12_ref[:, dp_pad:] += jax.lax.dot_general(
         P, uy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    v5 = payload_ref[4 + 2 * d : 4 + 2 * d + 8, :]  # (8, MC), 3 zero rows
+    v5 = payload_ref[4 + 2 * d : 4 + 2 * d + 8, :]  # (8, MC) incl. pad rows
     px5_ref[...] += jax.lax.dot_general(
         P,
         v5.T,
         (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # pose normal equations: A11 += us^T us; b1 += (sw e) us
+    a11_ref[:dp_pad, :] += jax.lax.dot_general(
+        us, us, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    a11_ref[dp_pad : dp_pad + 1, :] += jax.lax.dot_general(
+        swe[None, :], us, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -122,11 +141,14 @@ def a12_accumulate(
     wdx,
     wdy,
     vals5,
+    sw,
+    swe,
     num_pix: int,
     dim_pose: int,
     order: int,
 ):
-    """Sorted-scatter accumulation of A12 + per-pixel sums (see module doc).
+    """Sorted-scatter accumulation of A12 + per-pixel sums + the pose normal
+    equations (see module doc).
 
     Args:
       pm_pix: (N,) int32 pano pixel per measurement (any order).
@@ -135,12 +157,15 @@ def a12_accumulate(
       wdx, wdy: (N,) weighted map Jacobians (w*dx, w*dy).
       vals5: (5, N) per-pixel accumulants [w dx dx, w dx dy, w dy dy,
         we dx, we dy].
+      sw: (N,) sqrt of the measurement weight.
+      swe: (N,) sqrt(w) * residual.
       num_pix: HW (static); dim_pose: 3K (static); order: spline order.
 
     Returns:
       a12: (HW_pad, 2*dp_pad), dp_pad = round_up(dim_pose, 128); columns
         [0:dp_pad) = Gx plane, [dp_pad:) = Gy plane (zero-padded cols/rows).
       px5: (HW_pad, 8): cols 0..4 = a22_xx, a22_xy, a22_yy, b2_x, b2_y.
+      a11b: (dp_pad + 8, dp_pad): rows [0:dp_pad) = A11, row dp_pad = b1.
     """
     n = pm_pix.shape[0]
     d = 3 * order
@@ -161,7 +186,9 @@ def a12_accumulate(
             wdx[None, :].astype(jnp.float32),
             wdy[None, :].astype(jnp.float32),
             vals5.astype(jnp.float32),
-            jnp.zeros((3, n), jnp.float32),
+            sw[None, :].astype(jnp.float32),
+            swe[None, :].astype(jnp.float32),
+            jnp.zeros((1, n), jnp.float32),
         ],
         axis=0,
     )  # (np_rows, N)
@@ -215,20 +242,22 @@ def a12_accumulate(
         out_specs=[
             pl.BlockSpec((TILE_PX, 2 * dp_pad), lambda i, t: (t[i], 0)),
             pl.BlockSpec((TILE_PX, 8), lambda i, t: (t[i], 0)),
+            pl.BlockSpec((dp_pad + 8, dp_pad), lambda i, t: (0, 0)),
         ],
     )
     kernel = functools.partial(_kernel, dp_pad=dp_pad, order=order)
-    a12, px5 = pl.pallas_call(
+    a12, px5, a11b = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hw_pad, 2 * dp_pad), jnp.float32),
             jax.ShapeDtypeStruct((hw_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((dp_pad + 8, dp_pad), jnp.float32),
         ],
         # run interpreted off-TPU so the same code path is testable on CPU
         interpret=jax.default_backend() != "tpu",
     )(tile_of_chunk, pixf_b[None, :], payload_b)
-    return a12, px5
+    return a12, px5, a11b
 
 
 def _round_up_arr(x, m):

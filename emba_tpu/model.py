@@ -350,6 +350,44 @@ def form_normal_eq(
     wA = jnp.where(w, yi, 0.0).astype(dt)  # weight for LHS terms
     we = wA * lin.e  # reweighted residual for RHS terms
 
+    use_pallas = cfg.use_pallas and dt == jnp.float32
+    if use_pallas:
+        from .kernels.a12_accum import a12_accumulate
+
+        vals5 = jnp.stack(
+            [
+                wA * lin.dx * lin.dx,
+                wA * lin.dx * lin.dy,
+                wA * lin.dy * lin.dy,
+                we * lin.dx,
+                we * lin.dy,
+            ]
+        )
+        sw = jnp.sqrt(wA)
+        A12, px5, a11b = a12_accumulate(
+            lin.pm_pix,
+            lin.i_c,
+            lin.i_p,
+            lin.Jc,
+            lin.Jp,
+            wA * lin.dx,
+            wA * lin.dy,
+            vals5,
+            sw,
+            sw * lin.e,
+            hw,
+            dim_pose,
+            order,
+        )
+        A11 = a11b[:dim_pose, :dim_pose]
+        b1 = a11b[dp_pad, :dim_pose]
+        a22xx, a22xy, a22yy = px5[:, 0], px5[:, 1], px5[:, 2]
+        b2x, b2y = px5[:, 3], px5[:, 4]
+        return _finish_normal_eq(
+            A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, active, Gx, Gy, cfg,
+            hw, hw_pad, dt,
+        )
+
     # ---- chunked scan over measurements: A11 / b1 (MXU GEMMs) -------------
     n_chunks = -(-n // CHUNK)
     pad = n_chunks * CHUNK - n
@@ -363,20 +401,13 @@ def form_normal_eq(
     Jp_c = jnp.moveaxis(
         jnp.pad(lin.Jp, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK), 1, 0
     )
-
-    use_pallas = cfg.use_pallas and dt == jnp.float32
-    if not use_pallas:
-        dx_c = _pad_to_chunks(lin.dx, pad).reshape(n_chunks, CHUNK)
-        dy_c = _pad_to_chunks(lin.dy, pad).reshape(n_chunks, CHUNK)
-        pix_c = _pad_to_chunks(lin.pm_pix, pad).reshape(n_chunks, CHUNK)
+    dx_c = _pad_to_chunks(lin.dx, pad).reshape(n_chunks, CHUNK)
+    dy_c = _pad_to_chunks(lin.dy, pad).reshape(n_chunks, CHUNK)
+    pix_c = _pad_to_chunks(lin.pm_pix, pad).reshape(n_chunks, CHUNK)
 
     def chunk_body(carry, inp):
-        if use_pallas:
-            A11, b1 = carry
-            wAk, wek, ick, ipk, Jck, Jpk = inp
-        else:
-            A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12 = carry
-            wAk, wek, ick, ipk, Jck, Jpk, dxk, dyk, pixk = inp
+        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12 = carry
+        wAk, wek, ick, ipk, Jck, Jpk, dxk, dyk, pixk = inp
 
         # rows: (CHUNK, 3K) measurement rows by one-hot knot placement of the
         # curr/prev half-Jacobians. Built directly in 2-D (a (CHUNK, K, 3)
@@ -397,9 +428,6 @@ def form_normal_eq(
         wrows = rows * wAk[:, None]
         A11 = A11 + jnp.dot(rows.T, wrows, preferred_element_type=dt)
         b1 = b1 + rows.T @ wek
-
-        if use_pallas:
-            return (A11, b1), None
 
         # A22 / b2: 1-D per-pixel scatter adds.
         a22xx = a22xx.at[pixk].add(wAk * dxk * dxk, mode="drop")
@@ -426,59 +454,34 @@ def form_normal_eq(
 
         return (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), None
 
-    if use_pallas:
-        carry0 = (
-            jnp.zeros((dim_pose, dim_pose), dt),
-            jnp.zeros((dim_pose,), dt),
-        )
-        (A11, b1), _ = jax.lax.scan(
-            chunk_body, carry0, (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c)
-        )
-        from .kernels.a12_accum import a12_accumulate
+    carry0 = (
+        jnp.zeros((dim_pose, dim_pose), dt),
+        jnp.zeros((dim_pose,), dt),
+        jnp.zeros((hw_pad,), dt),
+        jnp.zeros((hw_pad,), dt),
+        jnp.zeros((hw_pad,), dt),
+        jnp.zeros((hw_pad,), dt),
+        jnp.zeros((hw_pad,), dt),
+        jnp.zeros((hw_pad * 2 * dp_pad,), dt),
+    )
+    (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), _ = jax.lax.scan(
+        chunk_body,
+        carry0,
+        (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, pix_c),
+    )
+    A12 = A12.reshape(hw_pad, 2 * dp_pad)
+    return _finish_normal_eq(
+        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, active, Gx, Gy, cfg,
+        hw, hw_pad, dt,
+    )
 
-        vals5 = jnp.stack(
-            [
-                wA * lin.dx * lin.dx,
-                wA * lin.dx * lin.dy,
-                wA * lin.dy * lin.dy,
-                we * lin.dx,
-                we * lin.dy,
-            ]
-        )
-        A12, px5 = a12_accumulate(
-            lin.pm_pix,
-            lin.i_c,
-            lin.i_p,
-            lin.Jc,
-            lin.Jp,
-            wA * lin.dx,
-            wA * lin.dy,
-            vals5,
-            hw,
-            dim_pose,
-            order,
-        )
-        a22xx, a22xy, a22yy = px5[:, 0], px5[:, 1], px5[:, 2]
-        b2x, b2y = px5[:, 3], px5[:, 4]
-    else:
-        carry0 = (
-            jnp.zeros((dim_pose, dim_pose), dt),
-            jnp.zeros((dim_pose,), dt),
-            jnp.zeros((hw_pad,), dt),
-            jnp.zeros((hw_pad,), dt),
-            jnp.zeros((hw_pad,), dt),
-            jnp.zeros((hw_pad,), dt),
-            jnp.zeros((hw_pad,), dt),
-            jnp.zeros((hw_pad * 2 * dp_pad,), dt),
-        )
-        (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), _ = jax.lax.scan(
-            chunk_body,
-            carry0,
-            (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, pix_c),
-        )
-        A12 = A12.reshape(hw_pad, 2 * dp_pad)
 
-    # ---- L2 map regularizer (active pixels only) ---------------------------
+def _finish_normal_eq(
+    A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, active, Gx, Gy, cfg, hw,
+    hw_pad, dt,
+):
+    """Apply the L2 map regularizer on active pixels (reference
+    ``applyL2Reg``, model.cpp:689-719) and assemble the NormalEq."""
     active_pad = jnp.pad(active, (0, hw_pad - hw))
     alpha = jnp.asarray(cfg.alpha, dt)
     act_f = active_pad.astype(dt)

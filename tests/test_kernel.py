@@ -1,5 +1,6 @@
 """Adversarial tests for the Pallas A12 accumulation kernel (interpret mode
-on CPU): degenerate pixel distributions that stress the bucket re-layout."""
+on CPU): degenerate pixel distributions that stress the bucket re-layout,
+plus the fused pose-block (A11/b1) outputs."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -8,21 +9,28 @@ import pytest
 import emba_tpu.kernels.a12_accum as K
 
 
-def ref_accumulate(pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, hw, dim_pose):
+def ref_accumulate(pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, hw, dim_pose):
     d = Jc.shape[0]
     dp_pad = K._round_up(dim_pose, 128)
     hw_pad = K._round_up(hw, K.TILE_PX)
     a12 = np.zeros((hw_pad, 2 * dp_pad), np.float32)
     px5 = np.zeros((hw_pad, 8), np.float32)
+    a11 = np.zeros((dp_pad, dp_pad), np.float32)
+    b1 = np.zeros(dp_pad, np.float32)
     for m in range(len(pm_pix)):
         p = pm_pix[m]
+        row = np.zeros(dp_pad, np.float32)
         for j in range(d):
             a12[p, 3 * i_c[m] + j] += Jc[j, m] * wdx[m]
             a12[p, 3 * i_p[m] + j] += Jp[j, m] * wdx[m]
             a12[p, dp_pad + 3 * i_c[m] + j] += Jc[j, m] * wdy[m]
             a12[p, dp_pad + 3 * i_p[m] + j] += Jp[j, m] * wdy[m]
+            row[3 * i_c[m] + j] += Jc[j, m] * sw[m]
+            row[3 * i_p[m] + j] += Jp[j, m] * sw[m]
         px5[p, :5] += vals5[:, m]
-    return a12, px5
+        a11 += np.outer(row, row)
+        b1 += swe[m] * row
+    return a12, px5, a11, b1
 
 
 def make_inputs(rng, n, hw, knots, pix_mode="uniform"):
@@ -44,7 +52,22 @@ def make_inputs(rng, n, hw, knots, pix_mode="uniform"):
         rng.normal(size=n).astype(np.float32),
         rng.normal(size=n).astype(np.float32),
         rng.normal(size=(5, n)).astype(np.float32),
+        rng.uniform(0.1, 1.0, size=n).astype(np.float32),  # sw
+        rng.normal(size=n).astype(np.float32),  # swe
     )
+
+
+def check(args, hw, knots):
+    dim_pose = 3 * knots
+    a12, px5, a11b = K.a12_accumulate(
+        *(jnp.asarray(a) for a in args), num_pix=hw, dim_pose=dim_pose, order=2
+    )
+    ref_a12, ref_px5, ref_a11, ref_b1 = ref_accumulate(*args, hw, dim_pose)
+    dp_pad = K._round_up(dim_pose, 128)
+    np.testing.assert_allclose(np.asarray(a12), ref_a12, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(px5)[:, :5], ref_px5[:, :5], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(a11b)[:dp_pad], ref_a11, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(a11b)[dp_pad], ref_b1, atol=2e-3)
 
 
 @pytest.mark.parametrize(
@@ -52,23 +75,9 @@ def make_inputs(rng, n, hw, knots, pix_mode="uniform"):
 )
 def test_kernel_matches_reference(pix_mode):
     rng = np.random.default_rng(0)
-    n, hw, knots = 2000, 2048, 10
-    args = make_inputs(rng, n, hw, knots, pix_mode)
-    a12, px5 = K.a12_accumulate(
-        *(jnp.asarray(a) for a in args), num_pix=hw, dim_pose=3 * knots, order=2
-    )
-    ref_a12, ref_px5 = ref_accumulate(*args, hw, 3 * knots)
-    np.testing.assert_allclose(np.asarray(a12), ref_a12, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(px5), ref_px5, atol=2e-3)
+    check(make_inputs(rng, 2000, 2048, 10, pix_mode), 2048, 10)
 
 
 def test_kernel_tiny_n():
     rng = np.random.default_rng(1)
-    n, hw, knots = 3, 1024, 5
-    args = make_inputs(rng, n, hw, knots, "uniform")
-    a12, px5 = K.a12_accumulate(
-        *(jnp.asarray(a) for a in args), num_pix=hw, dim_pose=3 * knots, order=2
-    )
-    ref_a12, ref_px5 = ref_accumulate(*args, hw, 3 * knots)
-    np.testing.assert_allclose(np.asarray(a12), ref_a12, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(px5), ref_px5, atol=1e-4)
+    check(make_inputs(rng, 3, 1024, 5, "uniform"), 1024, 5)
