@@ -10,3 +10,29 @@ array ops, MXU GEMM normal equations, mesh-sharded multi-chip scaling).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import emba_tpu` fast; jax loads on use)."""
+    import importlib
+
+    api = {
+        "Trajectory": ("spline", "Trajectory"),
+        "PinholeCamera": ("camera", "PinholeCamera"),
+        "EquirectangularCamera": ("camera", "EquirectangularCamera"),
+        "ModelConfig": ("model", "ModelConfig"),
+        "DeviceWindow": ("model", "DeviceWindow"),
+        "LMConfig": ("solver", "LMConfig"),
+        "solve_window": ("solver", "solve_window"),
+        "solve_window_fused": ("solver", "solve_window_fused"),
+        "BAConfig": ("config", "BAConfig"),
+        "preset": ("config", "preset"),
+        "EmbaPipeline": ("pipeline", "EmbaPipeline"),
+        "PoseManager": ("poses", "PoseManager"),
+        "build_window": ("pairing", "build_window"),
+        "reconstruct_from_gradient": ("recon", "reconstruct_from_gradient"),
+    }
+    if name in api:
+        mod, attr = api[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
