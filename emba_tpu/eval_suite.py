@@ -29,6 +29,18 @@ SEQUENCES = {
     "synth_long": (6, 0.25, 3, 3.0, 2.0),
 }
 
+# ECRot-shaped suite: DAVIS240-like sensor (240x180), 1024x512 panorama,
+# 4.8 s BA span, dt_knots 0.05 (97 knots) — the reference experiments'
+# problem shape (launch/bicycle.launch, SURVEY.md §6).
+ECROT_LIKE = {
+    "ecrot_bicycle_like": (11, 0.22, 3, 3.0, 4.8),
+    "ecrot_city_like": (12, 0.30, 2, 3.5, 4.8),
+    "ecrot_street_like": (13, 0.18, 3, 3.0, 4.8),
+    "ecrot_town_like": (14, 0.26, 4, 2.8, 4.8),
+    "ecrot_bay_like": (15, 0.22, 5, 2.5, 4.8),
+    "ecrot_playroom_like": (16, 0.35, 3, 3.0, 2.3),
+}
+
 
 def run_sequence(
     name: str,
@@ -39,31 +51,36 @@ def run_sequence(
     duration: float,
     pano_height: int = 128,
     sensor: int = 48,
+    sensor_h: int | None = None,
     perturb: float = 0.02,
     max_iter: int = 30,
+    num_steps: int | None = None,
+    c_th: float = 0.1,
     dtype=None,
 ) -> dict:
     if dtype is None:
         dtype = jnp.float32
     rng = np.random.default_rng(seed)
-    cam = synth.default_sensor(sensor, sensor, f=sensor * 0.9)
+    cam = synth.default_sensor(
+        sensor, sensor_h if sensor_h else sensor, f=sensor * 0.9
+    )
     B = synth.smooth_random_map(pano_height, 2 * pano_height, rng, smooth, amp)
     scene = synth.generate(
         rng,
         cam,
         pano_width=2 * pano_height,
         pano_height=pano_height,
-        c_th=0.1,
+        c_th=c_th,
         t_end=duration,
         dt_knots=0.05,
-        num_steps=int(600 * duration),
+        num_steps=num_steps if num_steps else int(600 * duration),
         motion_amp=motion,
         brightness=B,
     )
     import jax
 
     cfg = model.ModelConfig(
-        c_th=0.1,
+        c_th=c_th,
         pano_width=2 * pano_height,
         pano_height=pano_height,
         thres_valid_pixel=3,
@@ -130,9 +147,9 @@ def run_sequence(
     )
 
 
-def run_suite(out_path: str | None = None, **kw) -> list[dict]:
+def run_suite(out_path: str | None = None, sequences=None, **kw) -> list[dict]:
     results = []
-    for name, (seed, motion, smooth, amp, duration) in SEQUENCES.items():
+    for name, (seed, motion, smooth, amp, duration) in (sequences or SEQUENCES).items():
         res = run_sequence(name, seed, motion, smooth, amp, duration, **kw)
         results.append(res)
         print(
@@ -148,7 +165,26 @@ def run_suite(out_path: str | None = None, **kw) -> list[dict]:
     return results
 
 
+def run_ecrot_like(out_path: str | None = None):
+    """The reference-shaped suite: 240x180 sensor, 1024x512 pano, 4.8 s."""
+    return run_suite(
+        out_path,
+        sequences=ECROT_LIKE,
+        pano_height=512,
+        sensor=240,
+        sensor_h=180,
+        c_th=0.2,
+        perturb=0.015,
+        max_iter=30,
+        num_steps=1500,
+    )
+
+
 if __name__ == "__main__":
     import sys
 
-    run_suite(sys.argv[1] if len(sys.argv) > 1 else "suite_results.json")
+    if "--ecrot" in sys.argv:
+        out = [a for a in sys.argv[1:] if not a.startswith("-")]
+        run_ecrot_like(out[0] if out else "suite_ecrot_like.json")
+    else:
+        run_suite(sys.argv[1] if len(sys.argv) > 1 else "suite_results.json")

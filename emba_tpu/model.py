@@ -21,13 +21,14 @@ TPU-first design (SURVEY.md §7 + hardware layout rules):
   pad 21x in memory (this OOM'd a 4M-event problem at 19 GB),
 * the reference's three per-event hot loops become dense batched array ops
   over static shapes; dynamic active-pixel sets become masks,
-* A11/b1 are built by a ``lax.scan`` over measurement chunks: each chunk
-  expands its measurement rows into a dense (chunk, 3K) matrix via one-hot
-  knot placement (pure VPU broadcast) and accumulates ``rows^T W rows`` on
-  the MXU — no scatters on the pose block,
-* A22/b2 are 1-D per-pixel segment sums; A12 is a flat 1-D scatter in
-  ``(3K, 2, HW)``-flattened index space, so the Schur reduction and
-  back-substitution are plain 2-D GEMMs over even/odd column planes.
+* the normal equations have two producers sharing one layout (NormalEq):
+  the default TPU path is the Pallas sorted-accumulation kernel
+  (``kernels/a12_accum.py``: A11/b1/A12/A22/b2 in one pass of MXU GEMMs over
+  pixel-bucketed measurements); the fallback (CPU / f64 / sharded) is a
+  ``lax.scan`` over measurement chunks — one-hot row expansion + GEMM for
+  A11/b1, 1-D per-pixel scatter-adds for A22/b2/A12,
+* the Schur reduction and back-substitution are plain 2-D GEMMs over the
+  A12 column planes; A22 inversion is a batched closed-form 2x2.
 """
 
 from __future__ import annotations
