@@ -88,6 +88,17 @@ def run_sequence(
         outlier_dp_norm=3.0,
         use_pallas=(jax.default_backend() == "tpu" and dtype == jnp.float32),
     )
+    # Systematic subsampling to a memory budget (the reference's
+    # event_sampling_rate, emba.cpp:282-304; its docs recommend it exactly
+    # when memory runs out).
+    max_events = 4_000_000
+    ev = (scene.t, scene.x, scene.y, scene.pol)
+    if len(scene.t) > max_events:
+        from .pipeline import systematic_subsample
+
+        rate = int(np.ceil(len(scene.t) / max_events))
+        ev = systematic_subsample(*ev, rate)
+
     # front-end-like perturbation: smooth random walk on the knots
     steps = rng.normal(size=(scene.traj.num_knots, 3)) * perturb
     walk = np.cumsum(steps, axis=0)
@@ -96,7 +107,7 @@ def run_sequence(
         scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
     )
     win = pairing.build_window(
-        scene.t, scene.x, scene.y, scene.pol, cam.width, traj0.locate, 100
+        ev[0], ev[1], ev[2], ev[3], cam.width, traj0.locate, 100
     )
     dev = model.DeviceWindow.from_window(win, cam.bearing_lut(), cam.width, dtype)
     # Bucket the event count so sequences share compiled programs (remote
@@ -174,7 +185,7 @@ def run_ecrot_like(out_path: str | None = None):
         sensor=240,
         sensor_h=180,
         c_th=0.2,
-        perturb=0.015,
+        perturb=0.005,
         max_iter=30,
         num_steps=1500,
     )

@@ -27,14 +27,17 @@ GEMM operands of the Schur reduction.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_PX = 512  # pano pixels per output tile
-MC = 256  # measurements per chunk (one grid step)
+# Tile/chunk sizes (env-overridable for tuning; defaults fit the ~16MB VMEM
+# budget with double-buffered blocks).
+TILE_PX = int(os.environ.get("EMBA_TILE_PX", "512"))  # pano pixels per tile
+MC = int(os.environ.get("EMBA_MC", "256"))  # measurements per grid step
 
 
 def _round_up(x: int, m: int) -> int:
