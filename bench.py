@@ -32,7 +32,7 @@ NUM_STEPS = int(os.environ.get("BENCH_STEPS", "600"))
 T_END = float(os.environ.get("BENCH_T_END", "4.8"))
 C_TH = float(os.environ.get("BENCH_C_TH", "0.1"))
 MAX_EVENTS = int(os.environ.get("BENCH_MAX_EVENTS", "2000000"))
-LM_ITERS = int(os.environ.get("BENCH_LM_ITERS", "4"))
+LM_ITERS = int(os.environ.get("BENCH_LM_ITERS", "8"))
 CPU_EVENTS = int(os.environ.get("BENCH_CPU_EVENTS", "100000"))
 CPU_LM_ITERS = int(os.environ.get("BENCH_CPU_LM_ITERS", "1"))
 
