@@ -184,3 +184,30 @@ def test_fused_solver_matches_host_loop(setup):
         float(cost_f), st.iterations[-1]["cost_min"], rtol=1e-9
     )
     np.testing.assert_allclose(np.asarray(kf), np.asarray(kh), atol=1e-10)
+
+
+def test_fused_solver_irls(setup):
+    """Fused LM with IRLS (cauchy) runs and reduces the robust cost."""
+    rng, sensor, scene, cfg = setup
+    import dataclasses as dc
+
+    cfg_i = dc.replace(cfg, use_irls=True, cost_type="cauchy", eta=0.5)
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, scene.traj.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    pert = np.random.default_rng(2).normal(size=(scene.traj.num_knots, 3)) * 0.01
+    k0 = jnp.asarray(spline._np_exp(pert) @ scene.traj.knots)
+    kf, gx, gy, cost, it, conv = solver.solve_window_fused(
+        k0, jnp.asarray(scene.gx), jnp.asarray(scene.gy), dev, cfg_i,
+        jnp.asarray(1.0), jnp.asarray(1e-3), fix_first=True, max_num_iter=6,
+    )
+    lin0 = model.linearize(k0, jnp.asarray(scene.gx), jnp.asarray(scene.gy),
+                           dev, cfg_i, False)
+    cost0 = float(model.data_cost(lin0.e, cfg_i)) + float(
+        model.reg_cost(jnp.asarray(scene.gx), jnp.asarray(scene.gy), cfg_i.alpha)
+    )
+    assert float(cost) < 0.8 * cost0
+    assert np.isfinite(np.asarray(kf)).all()
