@@ -170,3 +170,138 @@ def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first:
         return knots_new, gx_new, gy_new, cost_old, cost_new
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map distributed Gauss-Newton reduction.
+# ---------------------------------------------------------------------------
+
+
+def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
+    """Explicit-collective variant of the normal-equation build: events are
+    sharded over the ``ev`` axis; each shard linearizes its events locally
+    and the reduction is spelled out as collectives (SURVEY.md §2.3):
+
+      * the global inlier-count map (active-pixel votes) is ``psum`` over
+        ``ev`` (the one cross-shard coupling BEFORE weighting: a pixel's
+        activity depends on events from every shard),
+      * the small pose block (A11, b1 — a few hundred KB) is ``psum`` over
+        ``ev``: the distributed Gauss-Newton tree reduction,
+      * the map-domain blocks (A12 / A22 / b2) are ``psum`` over ``ev`` then
+        kept sharded over ``tile`` (pixel rows) — the reduce-scatter shape:
+        per-tile solves never leave their device.
+
+    The per-shard prev-event gather is local: the caller must shard events
+    so each pair (prev, curr) lives in one shard — `shard_window` keeps the
+    time-contiguous layout, and cross-shard pairs are masked out by clipping
+    ``prev_idx`` into the shard (a <0.1% measurement loss at realistic shard
+    counts; the GSPMD path in `make_sharded_step` keeps them exactly).
+
+    Returns fn(knots, Gx, Gy, dev_win) -> NormalEq (A12 left ev-replicated,
+    tile-sharded by constraint).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_ev = mesh.shape["ev"]
+
+    def per_shard(knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
+                  batch_ids, batch_s, batch_u):
+        n_local = pol_signed.shape[0]
+        shard = jax.lax.axis_index("ev")
+        # remap global prev indices into this shard; pairs that cross the
+        # shard boundary are dropped (masked).
+        base = shard * n_local
+        local_prev = prev_idx - base
+        in_shard = (local_prev >= 0) & (local_prev < n_local)
+        dev_local = M.DeviceWindow(
+            bearings=bearings,
+            pol_signed=pol_signed,
+            prev_idx=jnp.clip(local_prev, 0, n_local - 1),
+            has_prev=has_prev & in_shard,
+            batch_ids=batch_ids,
+            batch_s=batch_s,
+            batch_u=batch_u,
+        )
+        lin = M.linearize(knots, Gx, Gy, dev_local, cfg, True)
+        # global activity: psum of per-shard inlier counts (collective #1)
+        import dataclasses as _dc
+
+        lin = _dc.replace(lin, num_ev_map=jax.lax.psum(lin.num_ev_map, "ev"))
+        neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
+
+        # distributed GN reduction (collectives #2, #3): pose block psum'd
+        # (replicated result); map-domain blocks summed over events and kept
+        # sharded by pano tile — each device emits its tile's row slice (on
+        # real hardware this psum+slice is a reduce-scatter over ICI).
+        tile = jax.lax.axis_index("tile")
+        n_tile = jax.lax.axis_size("tile")
+        rows = neq.a22_xx.shape[0] // n_tile
+
+        def tile_slice(x):
+            s = jax.lax.psum(x, "ev")
+            return jax.lax.dynamic_slice_in_dim(s, tile * rows, rows, axis=0)
+
+        return M.NormalEq(
+            A11=jax.lax.psum(neq.A11, "ev"),
+            b1=jax.lax.psum(neq.b1, "ev"),
+            a22_xx=tile_slice(neq.a22_xx),
+            a22_xy=tile_slice(neq.a22_xy),
+            a22_yy=tile_slice(neq.a22_yy),
+            b2_x=tile_slice(neq.b2_x),
+            b2_y=tile_slice(neq.b2_y),
+            A12=tile_slice(neq.A12),
+            active=jax.lax.dynamic_slice_in_dim(
+                neq.active, tile * rows, rows, axis=0
+            ),
+        )
+
+    ev_spec = P("ev")
+    shardfn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),  # knots, Gx, Gy replicated
+            P(None, "ev"), ev_spec, ev_spec, ev_spec, ev_spec, P(), P(),
+        ),
+        out_specs=M.NormalEq(
+            A11=P(), b1=P(),
+            a22_xx=P("tile"), a22_xy=P("tile"), a22_yy=P("tile"),
+            b2_x=P("tile"), b2_y=P("tile"),
+            A12=P("tile", None), active=P("tile"),
+        ),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def fn(knots, Gx, Gy, dev_win: M.DeviceWindow):
+        neq = shardfn(
+            knots, Gx, Gy, dev_win.bearings, dev_win.pol_signed,
+            dev_win.prev_idx, dev_win.has_prev, dev_win.batch_ids,
+            dev_win.batch_s, dev_win.batch_u,
+        )
+        # The L2 regularizer was added once per event shard inside
+        # form_normal_eq and then psum'd: remove the duplicate (n_ev - 1)
+        # contributions (reference semantics: applied exactly once,
+        # model.cpp:689-719).
+        if n_ev > 1:
+            dtp = neq.b1.dtype
+            alpha = jnp.asarray(cfg.alpha * (n_ev - 1), dtp)
+            act = neq.active.astype(dtp)
+            hw = cfg.num_pix
+            hw_pad = neq.a22_xx.shape[0]
+            gx_pad = jnp.pad(Gx.reshape(-1), (0, hw_pad - hw)).astype(dtp)
+            gy_pad = jnp.pad(Gy.reshape(-1), (0, hw_pad - hw)).astype(dtp)
+            neq = M.NormalEq(
+                A11=neq.A11,
+                b1=neq.b1,
+                a22_xx=neq.a22_xx - alpha * act,
+                a22_xy=neq.a22_xy,
+                a22_yy=neq.a22_yy - alpha * act,
+                b2_x=neq.b2_x + alpha * act * gx_pad,
+                b2_y=neq.b2_y + alpha * act * gy_pad,
+                A12=neq.A12,
+                active=neq.active,
+            )
+        return neq
+
+    return fn
