@@ -39,6 +39,12 @@ ECROT_LIKE = {
     "ecrot_town_like": (14, 0.26, 4, 2.8, 4.8),
     "ecrot_bay_like": (15, 0.22, 5, 2.5, 4.8),
     "ecrot_playroom_like": (16, 0.35, 3, 3.0, 2.3),
+    # ECD-like rows (shapes/poster/boxes/dynamic presets use 10 s windows;
+    # we render 4.8 s at matched texture character to bound runtime)
+    "ecd_shapes_like": (17, 0.28, 8, 3.5, 4.8),
+    "ecd_poster_like": (18, 0.24, 2, 3.8, 4.8),
+    "ecd_boxes_like": (19, 0.24, 3, 3.2, 4.8),
+    "ecd_dynamic_like": (20, 0.20, 4, 3.0, 4.8),
 }
 
 

@@ -326,3 +326,47 @@ def test_cli_reference_layout(dataset, tmp_path, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["windows"] == 1
+
+
+def test_checkpoint_resume(dataset, tmp_path):
+    """Window-level checkpoint/resume (the elasticity story the reference
+    lacks, SURVEY.md §5): a run killed after window 1 resumes from the
+    checkpoint and completes with the same number of total windows."""
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.0, stop_time=0.6, c_th=0.1, alpha=0.5, max_num_iter=2,
+        dt_knots=0.05, time_window_size=0.3, sliding_window_stride=0.3,
+        dtype="float64",
+    )
+
+    def make_pipe(outdir):
+        return EmbaPipeline(
+            cfg, load_camera_yaml(str(dataset / "calib.yaml")),
+            (t, x, y, pol), times, rots, init_gx=gx.copy(), init_gy=gy.copy(),
+            result_dir=str(outdir), record_data=True,
+        )
+
+    # full run for reference
+    full = make_pipe(tmp_path / "full").run()
+    assert len(full.window_stats) == 2
+
+    # interrupted run: monkeypatch to stop after the first window by
+    # shrinking the BA end, then resume from its checkpoint
+    p1 = make_pipe(tmp_path / "part")
+    p1.t_ba_end = 0.3 + 1e-6  # only window 0 fits
+    r1 = p1.run()
+    assert len(r1.window_stats) == 1
+    ckpt = tmp_path / "part" / "final_results" / "checkpoint.npz"
+    assert ckpt.exists()
+
+    p2 = make_pipe(tmp_path / "resumed")
+    r2 = p2.run(resume_from=str(ckpt))
+    assert len(r2.window_stats) == 1  # only the second window re-run
+    assert r2.trajectory.num_knots == full.trajectory.num_knots
+    assert np.isfinite(r2.trajectory.knots).all()
