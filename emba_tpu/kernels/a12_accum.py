@@ -38,6 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 # budget with double-buffered blocks).
 TILE_PX = int(os.environ.get("EMBA_TILE_PX", "512"))  # pano pixels per tile
 MC = int(os.environ.get("EMBA_MC", "256"))  # measurements per grid step
+# Optional bf16 GEMM operands (P is exact 0/1; the U strips lose ~3 decimal
+# digits — normal-equation noise ~0.3%, which LM tolerates). Off by default;
+# accumulation is always f32.
+BF16 = os.environ.get("EMBA_KERNEL_BF16") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -111,11 +115,15 @@ def _kernel(
     plocal = pixf - jnp.float32(TILE_PX) * tile.astype(jnp.float32)
     P = (tp_ids_f == plocal[:, None]).astype(jnp.float32)
 
+    gemm_dt = jnp.bfloat16 if BF16 else jnp.float32
+    Pg = P.astype(gemm_dt)
     a12_ref[:, :dp_pad] += jax.lax.dot_general(
-        P, ux, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        Pg, ux.astype(gemm_dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     a12_ref[:, dp_pad:] += jax.lax.dot_general(
-        P, uy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        Pg, uy.astype(gemm_dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     v5 = payload_ref[4 + 2 * d : 4 + 2 * d + 8, :]  # (8, MC) incl. pad rows
     px5_ref[...] += jax.lax.dot_general(
@@ -125,8 +133,9 @@ def _kernel(
         preferred_element_type=jnp.float32,
     )
     # pose normal equations: A11 += us^T us; b1 += (sw e) us
+    usg = us.astype(gemm_dt)
     a11_ref[:dp_pad, :] += jax.lax.dot_general(
-        us, us, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        usg, usg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     a11_ref[dp_pad : dp_pad + 1, :] += jax.lax.dot_general(
         swe[None, :], us, (((1,), (0,)), ((), ())),
