@@ -143,10 +143,8 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
 
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     if fused:
-        import jax.numpy as jnp2
-
-        damping = jnp2.asarray(1.0, dtype)
-        tolf = jnp2.asarray(0.0, dtype)  # disable early convergence
+        damping = jnp.asarray(1.0, dtype)
+        tolf = jnp.asarray(0.0, dtype)  # disable early convergence
         # warm the host-loop programs too (used for the phase breakdown)
         solver.solve_window(
             k0, Gx, Gy, dev, cfg, solver.LMConfig(max_num_iter=1),
