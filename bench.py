@@ -129,6 +129,10 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         # Pallas sorted-accumulation kernel for A12 (TPU, f32): ~3x faster
         # normal-eq forming than the XLA scatter.
         use_pallas=(jax.default_backend() == "tpu" and dtype_str == "float32"),
+        # Active-pixel compaction: solve only observed pixels. Essential at
+        # 4K panoramas (BENCH_PANO_H=2048: 8.4M pixels, ~97% never observed).
+        compact_cap=(int(os.environ["BENCH_COMPACT_CAP"])
+                     if "BENCH_COMPACT_CAP" in os.environ else None),
     )
     win = pairing.build_window(
         data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],

@@ -138,6 +138,8 @@ def _constrain_neq(mesh: Mesh, neq: M.NormalEq) -> M.NormalEq:
         b2_y=c(neq.b2_y, P("tile")),
         A12=c(neq.A12, P("tile", None)),  # pixel rows sharded over tiles
         active=c(neq.active, P("tile")),
+        pix2row=neq.pix2row,
+        active_pix=neq.active_pix,
     )
 
 
@@ -153,7 +155,7 @@ def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first:
     """
     import dataclasses as _dc
 
-    cfg = _dc.replace(cfg, use_pallas=False)
+    cfg = _dc.replace(cfg, use_pallas=False, compact_cap=None)
 
     @partial(jax.jit, static_argnames=())
     def step(knots, Gx, Gy, dev_win: M.DeviceWindow, lam):
@@ -161,7 +163,7 @@ def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first:
         neq = _constrain_neq(mesh, M.form_normal_eq(lin, Gx, Gy, cfg, num_knots))
         x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
         knots_new = M.update_knots(knots, x1, fix_first)
-        gx_new, gy_new = M.update_map(Gx, Gy, x2, 1.0, neq.active)
+        gx_new, gy_new = M.update_map(Gx, Gy, x2, 1.0, neq)
         lin_new = M.linearize(knots_new, gx_new, gy_new, dev_win, cfg, True)
         cost_new = M.data_cost(lin_new.e, cfg) + M.reg_cost(
             gx_new, gy_new, cfg.alpha
@@ -201,7 +203,9 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
     tile-sharded by constraint).
     """
     from jax.experimental.shard_map import shard_map
+    import dataclasses as _dc0
 
+    cfg = _dc0.replace(cfg, use_pallas=False, compact_cap=None)
     n_ev = mesh.shape["ev"]
 
     def per_shard(knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
@@ -253,6 +257,8 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
             active=jax.lax.dynamic_slice_in_dim(
                 neq.active, tile * rows, rows, axis=0
             ),
+            pix2row=neq.pix2row,
+            active_pix=neq.active_pix,
         )
 
     ev_spec = P("ev")
@@ -268,6 +274,7 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
             a22_xx=P("tile"), a22_xy=P("tile"), a22_yy=P("tile"),
             b2_x=P("tile"), b2_y=P("tile"),
             A12=P("tile", None), active=P("tile"),
+            pix2row=P(), active_pix=P(),
         ),
         check_rep=False,
     )
@@ -291,16 +298,14 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
             hw_pad = neq.a22_xx.shape[0]
             gx_pad = jnp.pad(Gx.reshape(-1), (0, hw_pad - hw)).astype(dtp)
             gy_pad = jnp.pad(Gy.reshape(-1), (0, hw_pad - hw)).astype(dtp)
-            neq = M.NormalEq(
-                A11=neq.A11,
-                b1=neq.b1,
+            import dataclasses as _dc
+
+            neq = _dc.replace(
+                neq,
                 a22_xx=neq.a22_xx - alpha * act,
-                a22_xy=neq.a22_xy,
                 a22_yy=neq.a22_yy - alpha * act,
                 b2_x=neq.b2_x + alpha * act * gx_pad,
                 b2_y=neq.b2_y + alpha * act * gy_pad,
-                A12=neq.A12,
-                active=neq.active,
             )
         return neq
 

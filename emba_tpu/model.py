@@ -64,6 +64,15 @@ class ModelConfig:
     spline_order: int = 2
     # Use the Pallas sorted-accumulation kernel for A12/A22/b2 (TPU only).
     use_pallas: bool = False
+    # Active-pixel compaction: build the map-domain normal equations over at
+    # most `compact_cap` ACTIVE pixels instead of the full panorama (the
+    # reference's compact active-pixel indexing, model.cpp:371-378, made
+    # static). None = full pixel domain. Shrinks the Schur GEMMs by the
+    # inactive fraction and makes 4K panoramas fit on one chip; measurements
+    # on active pixels beyond the cap are dropped (choose the cap >= the
+    # expected active count — it is bounded by both HW and the measurement
+    # count).
+    compact_cap: int | None = None
 
     @property
     def num_pix(self) -> int:
@@ -297,25 +306,29 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NormalEq:
-    """Schur-structured normal equations.
+    """Schur-structured normal equations over the map ROW space.
 
-    A12 is stored as (HW_pad, 2*dp_pad) with dp_pad = round_up(3K, 128):
-    columns [0:dp_pad) are the Gx plane, [dp_pad:2dp_pad) the Gy plane;
-    rows are pano pixels (zero beyond HW). This makes the Schur reduction
-    two plain 2-D GEMMs contracting over the pixel rows, and matches the
-    Pallas accumulation kernel's output layout. The per-pixel arrays are
-    padded to HW_pad as well (zeros beyond HW).
+    A12 is stored as (R_pad, 2*dp_pad) with dp_pad = round_up(3K, 128):
+    columns [0:dp_pad) are the Gx plane, [dp_pad:2dp_pad) the Gy plane. A
+    row is a pano pixel (R_pad = HW_pad) or, with active-pixel compaction
+    (``ModelConfig.compact_cap``), a compact active-pixel slot (R_pad =
+    round_up(cap)). ``pix2row`` maps pano pixels to rows (out-of-range =
+    dropped); ``active_pix`` is pixel-space activity for the map update.
+    This layout makes the Schur reduction two plain 2-D GEMMs contracting
+    over rows and matches the Pallas accumulation kernel's output.
     """
 
     A11: jax.Array  # (3K, 3K)
     b1: jax.Array  # (3K,)
-    a22_xx: jax.Array  # (HW_pad,)
-    a22_xy: jax.Array  # (HW_pad,)
-    a22_yy: jax.Array  # (HW_pad,)
-    b2_x: jax.Array  # (HW_pad,)
-    b2_y: jax.Array  # (HW_pad,)
-    A12: jax.Array  # (HW_pad, 2*dp_pad)
-    active: jax.Array  # (HW_pad,) bool (False beyond HW)
+    a22_xx: jax.Array  # (R_pad,)
+    a22_xy: jax.Array  # (R_pad,)
+    a22_yy: jax.Array  # (R_pad,)
+    b2_x: jax.Array  # (R_pad,)
+    b2_y: jax.Array  # (R_pad,)
+    A12: jax.Array  # (R_pad, 2*dp_pad)
+    active: jax.Array  # (R_pad,) bool row validity
+    pix2row: jax.Array  # (HW,) int32 pano pixel -> row (>= R_pad: dropped)
+    active_pix: jax.Array  # (HW,) bool pixel-space activity
 
 
 def _pad_to_chunks(x, n_pad, value=0):
@@ -343,9 +356,25 @@ def form_normal_eq(
     dp_pad = _round_up(dim_pose, 128)
     from .kernels.a12_accum import TILE_PX
 
-    hw_pad = _round_up(hw, TILE_PX)
-
     active = lin.num_ev_map >= cfg.thres_valid_pixel
+
+    # ---- map-domain row space: full pixel domain or compacted actives -----
+    if cfg.compact_cap is not None:
+        r_dom = min(cfg.compact_cap, hw)
+        r_pad = _round_up(r_dom, TILE_PX)
+        compact_id = jnp.cumsum(active.astype(jnp.int32)) - 1
+        # active pixels -> their compact slot (beyond-cap slots overflow past
+        # r_pad and are dropped everywhere); inactive pixels -> dropped
+        pix2row = jnp.where(active, compact_id, r_pad).astype(jnp.int32)
+        pix2row = jnp.where(pix2row >= r_pad, r_pad, pix2row)
+        num_active = jnp.sum(active.astype(jnp.int32))
+        row_active = jnp.arange(r_pad) < jnp.minimum(num_active, r_dom)
+    else:
+        r_pad = _round_up(hw, TILE_PX)
+        pix2row = jnp.arange(hw, dtype=jnp.int32)
+        row_active = jnp.pad(active, (0, r_pad - hw))
+    row_of_meas = pix2row[lin.pm_pix]
+
     w = lin.inlier & active[lin.pm_pix]
     yi = irls_weights(lin.e, cfg)
     wA = jnp.where(w, yi, 0.0).astype(dt)  # weight for LHS terms
@@ -366,7 +395,7 @@ def form_normal_eq(
         )
         sw = jnp.sqrt(wA)
         A12, px5, a11b = a12_accumulate(
-            lin.pm_pix,
+            row_of_meas,
             lin.i_c,
             lin.i_p,
             lin.Jc,
@@ -376,7 +405,7 @@ def form_normal_eq(
             vals5,
             sw,
             sw * lin.e,
-            hw,
+            r_pad,
             dim_pose,
             order,
         )
@@ -385,8 +414,8 @@ def form_normal_eq(
         a22xx, a22xy, a22yy = px5[:, 0], px5[:, 1], px5[:, 2]
         b2x, b2y = px5[:, 3], px5[:, 4]
         return _finish_normal_eq(
-            A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, active, Gx, Gy, cfg,
-            hw, hw_pad, dt,
+            A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
+            active, Gx, Gy, cfg, r_pad, dt,
         )
 
     # ---- chunked scan over measurements: A11 / b1 (MXU GEMMs) -------------
@@ -404,7 +433,8 @@ def form_normal_eq(
     )
     dx_c = _pad_to_chunks(lin.dx, pad).reshape(n_chunks, CHUNK)
     dy_c = _pad_to_chunks(lin.dy, pad).reshape(n_chunks, CHUNK)
-    pix_c = _pad_to_chunks(lin.pm_pix, pad).reshape(n_chunks, CHUNK)
+    # padded tail rows go out of range -> dropped by scatter mode="drop"
+    pix_c = _pad_to_chunks(row_of_meas, pad, value=r_pad).reshape(n_chunks, CHUNK)
 
     def chunk_body(carry, inp):
         A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12 = carry
@@ -458,40 +488,42 @@ def form_normal_eq(
     carry0 = (
         jnp.zeros((dim_pose, dim_pose), dt),
         jnp.zeros((dim_pose,), dt),
-        jnp.zeros((hw_pad,), dt),
-        jnp.zeros((hw_pad,), dt),
-        jnp.zeros((hw_pad,), dt),
-        jnp.zeros((hw_pad,), dt),
-        jnp.zeros((hw_pad,), dt),
-        jnp.zeros((hw_pad * 2 * dp_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad * 2 * dp_pad,), dt),
     )
     (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), _ = jax.lax.scan(
         chunk_body,
         carry0,
         (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, pix_c),
     )
-    A12 = A12.reshape(hw_pad, 2 * dp_pad)
+    A12 = A12.reshape(r_pad, 2 * dp_pad)
     return _finish_normal_eq(
-        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, active, Gx, Gy, cfg,
-        hw, hw_pad, dt,
+        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
+        active, Gx, Gy, cfg, r_pad, dt,
     )
 
 
 def _finish_normal_eq(
-    A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, active, Gx, Gy, cfg, hw,
-    hw_pad, dt,
+    A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
+    active_pix, Gx, Gy, cfg, r_pad, dt,
 ):
-    """Apply the L2 map regularizer on active pixels (reference
+    """Apply the L2 map regularizer on active rows (reference
     ``applyL2Reg``, model.cpp:689-719) and assemble the NormalEq."""
-    active_pad = jnp.pad(active, (0, hw_pad - hw))
     alpha = jnp.asarray(cfg.alpha, dt)
-    act_f = active_pad.astype(dt)
-    gx_pad = jnp.pad(Gx.reshape(-1), (0, hw_pad - hw)).astype(dt)
-    gy_pad = jnp.pad(Gy.reshape(-1), (0, hw_pad - hw)).astype(dt)
+    act_f = row_active.astype(dt)
+    # G values gathered into row space (active pixels only; dropped rows 0)
+    gsel = jnp.where(active_pix, Gx.reshape(-1).astype(dt), 0.0)
+    gx_row = jnp.zeros((r_pad,), dt).at[pix2row].add(gsel, mode="drop")
+    gsel = jnp.where(active_pix, Gy.reshape(-1).astype(dt), 0.0)
+    gy_row = jnp.zeros((r_pad,), dt).at[pix2row].add(gsel, mode="drop")
     a22xx = a22xx + alpha * act_f
     a22yy = a22yy + alpha * act_f
-    b2x = b2x - alpha * act_f * gx_pad
-    b2y = b2y - alpha * act_f * gy_pad
+    b2x = b2x - alpha * gx_row * act_f
+    b2y = b2y - alpha * gy_row * act_f
 
     return NormalEq(
         A11=A11,
@@ -502,7 +534,9 @@ def _finish_normal_eq(
         b2_x=b2x,
         b2_y=b2y,
         A12=A12,
-        active=active_pad,
+        active=row_active,
+        pix2row=pix2row,
+        active_pix=active_pix,
     )
 
 
@@ -694,15 +728,21 @@ def solve_normal_eq_cg(
 
 
 @jax.jit
-def update_map(Gx, Gy, x2, damping, active):
+def update_map(Gx, Gy, x2, damping, neq: NormalEq):
     """Apply the map increment: active pixels ``G += damping * x2``; inactive
     pixels reset to zero (reference ``updateMap``, model.cpp:863-903).
-    ``x2``: (2, HW_pad) and ``active``: (HW_pad,) — sliced to the map size."""
+    ``x2`` lives in row space (2, R_pad); ``neq.pix2row`` maps pixels to
+    rows (dropped/overflowed pixels get no increment but are still zeroed
+    when inactive)."""
     shape = Gx.shape
-    hw = shape[0] * shape[1]
-    act = active[:hw].reshape(shape)
-    gx = jnp.where(act, Gx + damping * x2[0, :hw].reshape(shape), 0.0)
-    gy = jnp.where(act, Gy + damping * x2[1, :hw].reshape(shape), 0.0)
+    r_pad = x2.shape[1]
+    rows = jnp.minimum(neq.pix2row, r_pad - 1)
+    valid = (neq.pix2row < r_pad) & neq.active_pix
+    act = neq.active_pix.reshape(shape)
+    dxp = jnp.where(valid, x2[0, rows], 0.0).reshape(shape)
+    dyp = jnp.where(valid, x2[1, rows], 0.0).reshape(shape)
+    gx = jnp.where(act, Gx + damping * dxp, 0.0)
+    gy = jnp.where(act, Gy + damping * dyp, 0.0)
     return gx, gy
 
 

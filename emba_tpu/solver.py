@@ -91,7 +91,7 @@ def _trial_step(knots, Gx, Gy, neq, lam, dev, cfg, damping, fix_first, use_cg):
         cg_it = jnp.asarray(0)
         cg_err = jnp.asarray(0.0, x1.dtype)
     knots_new = M.update_knots(knots, x1, fix_first)
-    gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq.active)
+    gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
     lin_new = M.linearize(knots_new, gx_new, gy_new, dev, cfg, True)
     cost_data_new = M.data_cost(lin_new.e, cfg)
     cost_reg_new = M.reg_cost(gx_new, gy_new, cfg.alpha)
@@ -273,7 +273,7 @@ def solve_window_fused(
         else:
             x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
         knots_new = M.update_knots(knots, x1, fix_first)
-        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq.active)
+        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
         lin_new = M.linearize(knots_new, gx_new, gy_new, dev_win, cfg, True)
         cost_new = M.data_cost(lin_new.e, cfg) + M.reg_cost(
             gx_new, gy_new, cfg.alpha

@@ -237,3 +237,75 @@ def test_form_normal_eq_pallas_path(scene):
             np.asarray(getattr(neq1, f)), np.asarray(getattr(neq0, f)),
             rtol=1e-5, atol=1e-4,
         )
+
+    # compact mode through the Pallas kernel: same pose solve as the
+    # compact XLA-scatter path
+    n_active = int(neq0.active.sum())
+    cfg_pc = dataclasses.replace(cfg_p, compact_cap=n_active + 9)
+    cfg_sc = dataclasses.replace(cfg, compact_cap=n_active + 9)
+    neq_pc = M.form_normal_eq(lin, Gx, Gy, cfg_pc, traj.num_knots)
+    neq_sc = M.form_normal_eq(lin, Gx, Gy, cfg_sc, traj.num_knots)
+    x1p, x2p = M.solve_normal_eq(neq_pc, jnp.asarray(1e-3, jnp.float32), True)
+    x1s, x2s = M.solve_normal_eq(neq_sc, jnp.asarray(1e-3, jnp.float32), True)
+    np.testing.assert_allclose(np.asarray(x1p), np.asarray(x1s), atol=5e-4)
+    gp = M.update_map(Gx, Gy, x2p, 1.0, neq_pc)
+    gs = M.update_map(Gx, Gy, x2s, 1.0, neq_sc)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]), atol=5e-4)
+
+
+def test_compact_cap_equivalence(scene):
+    """Active-pixel compaction (compact_cap) must reproduce the non-compact
+    solve exactly: same pose increment, same map update (the row space is a
+    permutation of the active pixels; reference solves the full pixel grid,
+    model.cpp:700-860)."""
+    import dataclasses as dc
+
+    cfg = make_cfg(scene)
+    traj, win, dev, lut = build_dev(scene, cfg, perturb=0.01)
+    knots = jnp.asarray(traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    nk = traj.num_knots
+
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
+    neq0 = M.form_normal_eq(lin, Gx, Gy, cfg, nk)
+    n_active = int(neq0.active.sum())
+
+    cfg_c = dc.replace(cfg, compact_cap=n_active + 37)
+    neq1 = M.form_normal_eq(lin, Gx, Gy, cfg_c, nk)
+    assert neq1.a22_xx.shape[0] < neq0.a22_xx.shape[0]
+    assert int(neq1.active.sum()) == n_active
+
+    x1a, x2a = M.solve_normal_eq(neq0, jnp.asarray(1e-3), True)
+    x1b, x2b = M.solve_normal_eq(neq1, jnp.asarray(1e-3), True)
+    np.testing.assert_allclose(np.asarray(x1b), np.asarray(x1a), atol=1e-10)
+
+    gxa, gya = M.update_map(Gx, Gy, x2a, 1.0, neq0)
+    gxb, gyb = M.update_map(Gx, Gy, x2b, 1.0, neq1)
+    np.testing.assert_allclose(np.asarray(gxb), np.asarray(gxa), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gyb), np.asarray(gya), atol=1e-10)
+
+
+def test_compact_cap_overflow_drops_rows(scene):
+    """A cap SMALLER than the active count must not crash: overflow pixels are
+    dropped from the solve (their map entries zeroed as inactive-like)."""
+    import dataclasses as dc
+
+    cfg = make_cfg(scene)
+    traj, win, dev, lut = build_dev(scene, cfg, perturb=0.01)
+    knots = jnp.asarray(traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    nk = traj.num_knots
+
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
+    neq0 = M.form_normal_eq(lin, Gx, Gy, cfg, nk)
+    n_active = int(neq0.active.sum())
+    cap = max(8, n_active // 2)
+    cfg_c = dc.replace(cfg, compact_cap=cap)
+    neq1 = M.form_normal_eq(lin, Gx, Gy, cfg_c, nk)
+    assert int(neq1.active.sum()) <= ((cap + 127) // 128) * 128
+    x1, x2 = M.solve_normal_eq(neq1, jnp.asarray(1e-3), True)
+    assert np.isfinite(np.asarray(x1)).all()
+    gx, gy = M.update_map(Gx, Gy, x2, 1.0, neq1)
+    assert np.isfinite(np.asarray(gx)).all()
