@@ -62,6 +62,7 @@ def _cmd_run(args):
         "dtype",
         "outlier_dp_norm",
         "thres_valid_pixel",
+        "compact_cap",
     ):
         v = getattr(args, k, None)
         if v is not None:
@@ -101,6 +102,21 @@ def _cmd_run(args):
 
     # --- front-end trajectory ----------------------------------------------
     times, rots = eio.load_tum_trajectory(args.poses, time_offset=cfg.time_offset)
+
+    # Clamp the BA interval to the data actually available when the user did
+    # not pin it explicitly (the reference requires start/stop in the launch
+    # file, emba.cpp:76-80; defaults beyond the pose/event span would
+    # otherwise fail spline fitting with an obscure "need >= 2 poses" error).
+    span_end = float(min(times[-1], t[-1])) - cfg.time_offset
+    span_start = float(max(times[0], t[0])) - cfg.time_offset
+    if getattr(args, "stop_time", None) is None and cfg.stop_time > span_end:
+        print(f"# clamping stop_time {cfg.stop_time} -> {span_end:.4f} "
+              "(end of data)", file=sys.stderr)
+        cfg.stop_time = span_end
+    if getattr(args, "start_time", None) is None and cfg.start_time < span_start:
+        print(f"# clamping start_time {cfg.start_time} -> {span_start:.4f} "
+              "(start of data)", file=sys.stderr)
+        cfg.start_time = span_start
 
     # --- initial map ---------------------------------------------------------
     gx = gy = None
@@ -273,6 +289,11 @@ def main(argv=None):
     r.add_argument("--outlier-dp", dest="outlier_dp_norm", type=float)
     r.add_argument("--thres-valid-pixel", dest="thres_valid_pixel", type=int)
     r.add_argument("--use-cg", action="store_true")
+    r.add_argument(
+        "--compact-cap", dest="compact_cap", type=int,
+        help="active-pixel compaction cap (solve only observed map pixels; "
+        "recommended for 4K+ panoramas)",
+    )
     r.add_argument("--irls", choices=["huber", "cauchy"])
     r.add_argument("--spline-order", dest="spline_order", type=int, choices=[2, 4])
     r.add_argument(

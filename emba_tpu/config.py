@@ -69,6 +69,12 @@ class BAConfig:
     # per-iteration logs/timings are unavailable. Auto-selected by the
     # pipeline when not recording data.
     fused_lm: bool | None = None
+    # Active-pixel compaction: solve only the observed map pixels (row cap;
+    # None = full pixel grid). Essential for 4K+ panoramas where <10% of the
+    # grid is ever observed — shrinks A12/A22 and the map-side GEMMs by the
+    # sparsity factor. Set >= the expected active-pixel count (overflow
+    # pixels are held fixed for the iteration).
+    compact_cap: int | None = None
 
     def model_config(self) -> ModelConfig:
         if self.use_pallas is None:
@@ -91,6 +97,7 @@ class BAConfig:
             eta=self.eta if self.use_irls else 1.0,
             spline_order=self.spline_order,
             use_pallas=use_pallas,
+            compact_cap=self.compact_cap,
         )
 
     def lm_config(self) -> LMConfig:
