@@ -373,7 +373,10 @@ def form_normal_eq(
         r_pad = _round_up(hw, TILE_PX)
         pix2row = jnp.arange(hw, dtype=jnp.int32)
         row_active = jnp.pad(active, (0, r_pad - hw))
-    row_of_meas = pix2row[lin.pm_pix]
+    # non-compact: rows ARE pixels — skip the (N,)-sized indirection gather
+    row_of_meas = (
+        lin.pm_pix if cfg.compact_cap is None else pix2row[lin.pm_pix]
+    )
 
     w = lin.inlier & active[lin.pm_pix]
     yi = irls_weights(lin.e, cfg)
