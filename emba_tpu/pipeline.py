@@ -367,6 +367,8 @@ class EmbaPipeline:
             "phases_s": agg,
             "phase_counts": counts,
             "num_events": n_ev,
+            # Np per window (reference logs active pixels, solver.cpp:283-293)
+            "num_active_pixels": [st.num_active_pixels for st in window_stats],
             "events_per_second": window_stats[-1].events_per_second()
             if window_stats
             else {},

@@ -56,6 +56,7 @@ class LMStats:
     count_solve: int = 0
     count_objective: int = 0
     num_events: int = 0
+    num_active_pixels: int = 0  # Np, logged by the reference solver.cpp:283-293
     converged: bool = False
 
     def events_per_second(self) -> dict:
@@ -161,6 +162,8 @@ def solve_window(
             jax.block_until_ready(neq.b1)
             stats.time_form_s += time.perf_counter() - t0
             stats.count_form += 1
+            if stats.num_active_pixels == 0:
+                stats.num_active_pixels = int(neq.active.sum())
 
         if callback is not None:
             callback(it, Gx, Gy, dict(lam=lam, cost_min=cost_min))
