@@ -43,6 +43,22 @@ def median_blur_3x3(img: np.ndarray) -> np.ndarray:
     return np.median(stack, axis=0).astype(np.float64)
 
 
+def auto_compact_cap(hw: int, num_events: int, thres_valid_pixel: int):
+    """Auto-enable active-pixel compaction for large panoramas.
+
+    The map block of the normal equations only needs rows for observed
+    pixels. Safe cap: a pixel needs >= thres_valid_pixel events to become
+    active, so actives <= num_events / thres (rounded up to a power of two
+    for compile-cache stability). Returns None when compaction would not
+    shrink the solve domain meaningfully (small panos / dense coverage).
+    """
+    bound = num_events // max(1, thres_valid_pixel) + 1
+    cap = 1 << max(12, int(np.ceil(np.log2(bound))))
+    if hw >= 2 * 1024 * 1024 and cap < hw // 2:
+        return cap
+    return None
+
+
 def systematic_subsample(t, x, y, pol, rate: int):
     """Keep every ``rate``-th event (reference ``emba.cpp:282-304``)."""
     if rate < 2:
@@ -191,6 +207,15 @@ class EmbaPipeline:
         cfg = self.cfg
         mcfg = cfg.model_config()
         lm = cfg.lm_config()
+
+        if mcfg.compact_cap is None:
+            cap = auto_compact_cap(
+                mcfg.pano_width * mcfg.pano_height,
+                len(self.t),
+                mcfg.thres_valid_pixel,
+            )
+            if cap is not None:
+                mcfg = dataclasses.replace(mcfg, compact_cap=cap)
 
         t_win_beg = self.t_ba_beg
         t_win_end = t_win_beg + self.win_size

@@ -56,7 +56,10 @@ class LMStats:
     count_solve: int = 0
     count_objective: int = 0
     num_events: int = 0
-    num_active_pixels: int = 0  # Np, logged by the reference solver.cpp:283-293
+    # Np (reference solver.cpp:283-293); filled by the host LM loop only —
+    # the fused on-device loop never materializes the normal equations on
+    # host, so it stays 0 there.
+    num_active_pixels: int = 0
     converged: bool = False
 
     def events_per_second(self) -> dict:

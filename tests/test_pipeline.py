@@ -370,3 +370,16 @@ def test_checkpoint_resume(dataset, tmp_path):
     assert len(r2.window_stats) == 1  # only the second window re-run
     assert r2.trajectory.num_knots == full.trajectory.num_knots
     assert np.isfinite(r2.trajectory.knots).all()
+
+
+def test_auto_compact_cap():
+    from emba_tpu.pipeline import auto_compact_cap
+
+    # small pano: never compacts
+    assert auto_compact_cap(1024 * 512, 2_000_000, 3) is None
+    # 4K pano, 2M events, thres 3: cap = next_pow2(666667) = 1M < hw/2
+    assert auto_compact_cap(4096 * 2048, 2_000_000, 3) == 1 << 20
+    # dense coverage (events >> pixels): compaction would not shrink -> None
+    assert auto_compact_cap(4096 * 2048, 100_000_000, 3) is None
+    # tiny event count: floor at 4096 rows
+    assert auto_compact_cap(4096 * 2048, 1_000, 3) == 4096
