@@ -205,7 +205,11 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
     from jax.experimental.shard_map import shard_map
     import dataclasses as _dc0
 
-    cfg = _dc0.replace(cfg, use_pallas=False, compact_cap=None)
+    # Compaction stays off (pix2row must be pixel-identity so the post-psum
+    # tile slicing lines up), but the Pallas A12 kernel is shard-local and
+    # composes with shard_map: each shard sorts/accumulates its own events,
+    # the psum reduction after is unchanged.
+    cfg = _dc0.replace(cfg, compact_cap=None)
     n_ev = mesh.shape["ev"]
 
     def per_shard(knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
