@@ -19,6 +19,7 @@ TPU-native replacement for the reference's ``EMBA`` orchestrator
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -57,6 +58,32 @@ def auto_compact_cap(hw: int, num_events: int, thres_valid_pixel: int):
     if hw >= 2 * 1024 * 1024 and cap < hw // 2:
         return cap
     return None
+
+
+def retune_compact_cap(cap: int, observed_active: int, hw: int) -> int:
+    """Adapt the compaction cap to the ACTIVE-pixel count observed in the
+    window just solved: cap = next_pow2(2 * observed), floored at 4096 and
+    clamped to next_pow2(hw). The power-of-two grid plus the 2x headroom
+    gives hysteresis — the cap only changes when observed actives leave the
+    (cap/4, cap/2] band — so the compile cache sees few distinct shapes.
+    """
+    desired = 1 << max(12, int(np.ceil(np.log2(max(1, 2 * observed_active)))))
+    return min(desired, 1 << int(np.ceil(np.log2(hw))))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _count_active_device(knots, gx, gy, dev, cfg):
+    lin = model.linearize(knots, gx, gy, dev, cfg, False)
+    return jnp.sum((lin.num_ev_map >= cfg.thres_valid_pixel).astype(jnp.int32))
+
+
+def count_active_pixels(knots, gx, gy, dev, mcfg) -> int:
+    """Observed active-pixel count for a solved window: pano pixels with
+    >= thres_valid_pixel inlier events (reference model.cpp:407-411). cfg is
+    normalized to compact_cap=None / use_pallas=False so the compiled
+    program is reused across cap changes (linearize depends on neither)."""
+    cfg = dataclasses.replace(mcfg, compact_cap=None, use_pallas=False)
+    return int(_count_active_device(knots, gx, gy, dev, cfg))
 
 
 def systematic_subsample(t, x, y, pol, rate: int):
@@ -208,7 +235,8 @@ class EmbaPipeline:
         mcfg = cfg.model_config()
         lm = cfg.lm_config()
 
-        if mcfg.compact_cap is None:
+        auto_cap = mcfg.compact_cap is None
+        if auto_cap:
             cap = auto_compact_cap(
                 mcfg.pano_width * mcfg.pano_height,
                 len(self.t),
@@ -216,6 +244,7 @@ class EmbaPipeline:
             )
             if cap is not None:
                 mcfg = dataclasses.replace(mcfg, compact_cap=cap)
+        auto_cap = auto_cap and mcfg.compact_cap is not None
 
         t_win_beg = self.t_ba_beg
         t_win_end = t_win_beg + self.win_size
@@ -328,6 +357,20 @@ class EmbaPipeline:
             self.gx, self.gy = np.asarray(gx_j), np.asarray(gy_j)
             seg = dataclasses.replace(seg, knots=np.asarray(knots, np.float64))
             self.traj.replace_with(seg, seg.num_knots, 0, idx_cp_beg)
+            if auto_cap:
+                # Retune the compaction cap for the NEXT window from the
+                # active count actually observed in this one (2x headroom,
+                # pow2 grid; see retune_compact_cap). Also repairs an
+                # undersized cap — beyond-cap actives are dropped from the
+                # solve, so growing restores them next window.
+                observed = count_active_pixels(knots, gx_j, gy_j, dev, mcfg)
+                if stats.num_active_pixels == 0:
+                    stats.num_active_pixels = observed
+                new_cap = retune_compact_cap(
+                    mcfg.compact_cap, observed, mcfg.pano_width * mcfg.pano_height
+                )
+                if new_cap != mcfg.compact_cap:
+                    mcfg = dataclasses.replace(mcfg, compact_cap=new_cap)
             window_stats.append(stats)
             self._save_maps("map_opt", win_id, len(stats.iterations))
 

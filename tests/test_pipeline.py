@@ -383,3 +383,52 @@ def test_auto_compact_cap():
     assert auto_compact_cap(4096 * 2048, 100_000_000, 3) is None
     # tiny event count: floor at 4096 rows
     assert auto_compact_cap(4096 * 2048, 1_000, 3) == 4096
+
+
+def test_retune_compact_cap():
+    from emba_tpu.pipeline import retune_compact_cap
+
+    hw = 4096 * 2048  # = 2**23
+    # hysteresis band: observed in (cap/4, cap/2] keeps the cap
+    assert retune_compact_cap(1 << 20, 300_000, hw) == 1 << 20
+    assert retune_compact_cap(1 << 20, 1 << 19, hw) == 1 << 20
+    # grow (with 2x headroom) once observed exceeds cap/2
+    assert retune_compact_cap(1 << 20, (1 << 19) + 1, hw) == 1 << 21
+    # shrink once observed falls to cap/4
+    assert retune_compact_cap(1 << 20, 1 << 18, hw) == 1 << 19
+    # floor at 4096 rows, clamp at next_pow2(hw)
+    assert retune_compact_cap(1 << 20, 10, hw) == 4096
+    assert retune_compact_cap(1 << 20, hw, hw) == hw
+
+
+def test_pipeline_adaptive_compaction(dataset, monkeypatch):
+    """Auto-compaction end-to-end: force the auto cap on the small test pano
+    and check the compacted two-window run matches the full-grid run; the
+    observed active count must be recorded and the retune path exercised."""
+    import emba_tpu.config as C
+    import emba_tpu.pipeline as P
+    from emba_tpu.camera import load_camera_yaml
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.0, stop_time=0.6, c_th=0.1, alpha=0.5, max_num_iter=2,
+        dt_knots=0.05, time_window_size=0.3, sliding_window_stride=0.3,
+        dtype="float64",
+    )
+
+    def make():
+        return P.EmbaPipeline(
+            cfg, load_camera_yaml(str(dataset / "calib.yaml")),
+            (t, x, y, pol), times, rots, init_gx=gx, init_gy=gy,
+        )
+
+    res_full = make().run()
+    monkeypatch.setattr(P, "auto_compact_cap", lambda hw, n, th: 4096)
+    res_c = make().run()
+    assert all(s.num_active_pixels > 0 for s in res_c.window_stats)
+    np.testing.assert_allclose(
+        res_c.trajectory.knots, res_full.trajectory.knots, atol=1e-8
+    )
+    np.testing.assert_allclose(res_c.gx, res_full.gx, atol=1e-8)
