@@ -202,7 +202,20 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
     Returns fn(knots, Gx, Gy, dev_win) -> NormalEq (A12 left ev-replicated,
     tile-sharded by constraint).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _sm  # jax >= 0.8 (check_vma kwarg)
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sm(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+    except ImportError:
+        from functools import partial as _pt
+
+        from jax.experimental.shard_map import shard_map as _sm
+
+        shard_map = _pt(_sm, check_rep=False)
     import dataclasses as _dc0
 
     # Compaction stays off (pix2row must be pixel-identity so the post-psum
@@ -280,7 +293,6 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
             A12=P("tile", None), active=P("tile"),
             pix2row=P(), active_pix=P(),
         ),
-        check_rep=False,
     )
 
     @jax.jit
