@@ -180,6 +180,9 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         phases["total_host_loop"] = phases.pop("total")
         phases["total"] = total_eps
         phases["mode"] = "fused"
+        # form/solve/objective are separate value-fetch-synced jitted calls
+        # from the host-driven loop; "total" is the fused one-program wall.
+        phases["sync"] = "value-fetch"
         return dict(
             num_events=n,
             lm_iterations=n_it,

@@ -140,6 +140,8 @@ def _constrain_neq(mesh: Mesh, neq: M.NormalEq) -> M.NormalEq:
         active=c(neq.active, P("tile")),
         pix2row=neq.pix2row,
         active_pix=neq.active_pix,
+        active_count=neq.active_count,
+        dropped=neq.dropped,
     )
 
 
@@ -276,6 +278,9 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
             ),
             pix2row=neq.pix2row,
             active_pix=neq.active_pix,
+            # activity is global (num_ev_map was psum'd); dropped is per-shard
+            active_count=neq.active_count,
+            dropped=jax.lax.psum(neq.dropped, "ev"),
         )
 
     ev_spec = P("ev")
@@ -291,7 +296,7 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
             a22_xx=P("tile"), a22_xy=P("tile"), a22_yy=P("tile"),
             b2_x=P("tile"), b2_y=P("tile"),
             A12=P("tile", None), active=P("tile"),
-            pix2row=P(), active_pix=P(),
+            pix2row=P(), active_pix=P(), active_count=P(), dropped=P(),
         ),
     )
 

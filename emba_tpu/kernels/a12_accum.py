@@ -183,6 +183,14 @@ def a12_accumulate(
     d = 3 * order
     dp_pad = _round_up(dim_pose, 128)
     hw_pad = _round_up(num_pix, TILE_PX)
+    # Row indices ride through the bucket prepass and kernel as float32,
+    # exact only below 2^24 (a >16.7M-row domain would silently mis-bucket).
+    # Larger panoramas must use active-pixel compaction (compact_cap).
+    if hw_pad >= 1 << 24:
+        raise ValueError(
+            f"a12_accumulate: row domain {hw_pad} >= 2^24 exceeds exact "
+            "float32 indexing; enable ModelConfig.compact_cap"
+        )
     n_tiles = hw_pad // TILE_PX
     np_rows = 4 + 2 * d + 8
 

@@ -329,6 +329,12 @@ class NormalEq:
     active: jax.Array  # (R_pad,) bool row validity
     pix2row: jax.Array  # (HW,) int32 pano pixel -> row (>= R_pad: dropped)
     active_pix: jax.Array  # (HW,) bool pixel-space activity
+    # Scalars for observability (and cheap host sync points): Np — the
+    # active-pixel count the reference logs per iteration (solver.cpp:283-293)
+    # — and the number of measurements dropped by compaction-cap overflow
+    # (0 unless compact_cap is undersized; no silent truncation).
+    active_count: jax.Array  # () int32
+    dropped: jax.Array  # () int32
 
 
 def _pad_to_chunks(x, n_pad, value=0):
@@ -379,6 +385,16 @@ def form_normal_eq(
     )
 
     w = lin.inlier & active[lin.pm_pix]
+    if cfg.compact_cap is not None:
+        # Measurements on active pixels beyond the compaction cap must drop
+        # from EVERY block (not just the map blocks their scatter overflows
+        # past), or the normal equations turn asymmetric when the adaptive
+        # cap is transiently undersized. Count them — no silent truncation.
+        in_row = row_of_meas < r_pad
+        dropped = jnp.sum((w & ~in_row).astype(jnp.int32))
+        w = w & in_row
+    else:
+        dropped = jnp.zeros((), jnp.int32)
     yi = irls_weights(lin.e, cfg)
     wA = jnp.where(w, yi, 0.0).astype(dt)  # weight for LHS terms
     we = wA * lin.e  # reweighted residual for RHS terms
@@ -418,7 +434,7 @@ def form_normal_eq(
         b2x, b2y = px5[:, 3], px5[:, 4]
         return _finish_normal_eq(
             A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
-            active, Gx, Gy, cfg, r_pad, dt,
+            active, Gx, Gy, cfg, r_pad, dt, dropped,
         )
 
     # ---- chunked scan over measurements: A11 / b1 (MXU GEMMs) -------------
@@ -506,13 +522,13 @@ def form_normal_eq(
     A12 = A12.reshape(r_pad, 2 * dp_pad)
     return _finish_normal_eq(
         A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
-        active, Gx, Gy, cfg, r_pad, dt,
+        active, Gx, Gy, cfg, r_pad, dt, dropped,
     )
 
 
 def _finish_normal_eq(
     A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
-    active_pix, Gx, Gy, cfg, r_pad, dt,
+    active_pix, Gx, Gy, cfg, r_pad, dt, dropped,
 ):
     """Apply the L2 map regularizer on active rows (reference
     ``applyL2Reg``, model.cpp:689-719) and assemble the NormalEq."""
@@ -540,6 +556,8 @@ def _finish_normal_eq(
         active=row_active,
         pix2row=pix2row,
         active_pix=active_pix,
+        active_count=jnp.sum(active_pix.astype(jnp.int32)),
+        dropped=dropped,
     )
 
 

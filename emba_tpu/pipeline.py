@@ -188,10 +188,11 @@ class EmbaPipeline:
             for k, v in dataclasses.asdict(cfg).items():
                 f.write(f"{k} = {v}\n")
 
-    def _save_maps(self, tag: str, win_id: int, it: int):
+    def _save_maps(self, tag: str, win_id: int, it: int, gx=None, gy=None):
         if not (self.record_data and self.record_maps):
             return
-        gx, gy = np.asarray(self.gx), np.asarray(self.gy)
+        gx = np.asarray(self.gx if gx is None else gx)
+        gy = np.asarray(self.gy if gy is None else gy)
         base = os.path.join(self.result_dir, tag)
         pre = f"win_{win_id:04d}_"
         eio.save_png(os.path.join(base, f"{pre}Gx_{it:04d}.png"), gx)
@@ -202,6 +203,34 @@ class EmbaPipeline:
             recon.reconstruct_from_gradient(jnp.asarray(gx), jnp.asarray(gy))
         )
         eio.save_png(os.path.join(base, f"{pre}poisson_{it:04d}.png"), bright)
+
+    def _save_evo(self, win_id: int, it: int, gx, gy):
+        """Per-LM-iteration evolution dumps (reference ``saveEvoData``,
+        solver.cpp:370-425): the evolving Gx/Gy/HSV images plus the Poisson
+        brightness snapshot, one file set per iteration."""
+        if not (self.record_data and self.record_maps):
+            return
+        gx, gy = np.asarray(gx), np.asarray(gy)
+        pre = f"win_{win_id:04d}_"
+        eio.save_png(
+            os.path.join(self.result_dir, "Gx_evo", f"{pre}{it:04d}.png"), gx
+        )
+        eio.save_png(
+            os.path.join(self.result_dir, "Gy_evo", f"{pre}{it:04d}.png"), gy
+        )
+        eio.save_png(
+            os.path.join(self.result_dir, "G_hsv_evo", f"{pre}{it:04d}.png"),
+            eio.gradient_hsv_image(gx, gy),
+        )
+        bright = np.asarray(
+            recon.reconstruct_from_gradient(jnp.asarray(gx), jnp.asarray(gy))
+        )
+        eio.save_png(
+            os.path.join(
+                self.result_dir, "map_poisson_evo", f"{pre}{it:04d}.png"
+            ),
+            bright,
+        )
 
     # -- checkpointing (new vs reference) ------------------------------------
 
@@ -309,6 +338,7 @@ class EmbaPipeline:
                         f"win {win_id} iter {it} log10(lambda)="
                         f"{np.log10(info['lam']):.2f} cost_min={info['cost_min']}\n"
                     )
+                self._save_evo(win_id, it, gx, gy)
 
             fused = (
                 cfg.fused_lm
@@ -336,10 +366,10 @@ class EmbaPipeline:
                 stats.converged = bool(conv)
                 stats.count_objective = int(n_it)
                 stats.count_form = stats.count_solve = int(n_it)
-                wall = time.perf_counter() - t0
-                stats.time_objective_s = wall / 3
-                stats.time_form_s = wall / 3
-                stats.time_solve_s = wall / 3
+                # Fused mode is ONE device program: only the total is a real
+                # measurement — per-phase times stay 0 (reported as None),
+                # never fabricated splits.
+                stats.time_total_s = time.perf_counter() - t0
                 stats.iterations = [dict(iter=int(n_it), cost_min=float(cost_min))]
             else:
                 knots, gx_j, gy_j, stats = solver.solve_window(
@@ -364,8 +394,14 @@ class EmbaPipeline:
                 # undersized cap — beyond-cap actives are dropped from the
                 # solve, so growing restores them next window.
                 observed = count_active_pixels(knots, gx_j, gy_j, dev, mcfg)
-                if stats.num_active_pixels == 0:
-                    stats.num_active_pixels = observed
+                if not stats.active_px_per_form:
+                    stats.note_active_pixels(observed)
+                # Beyond-cap actives were dropped from this window's solve;
+                # surface the overflow (runtime.json) — the retune below
+                # restores them next window.
+                stats.overflow_active_pixels = max(
+                    0, observed - (mcfg.compact_cap or observed)
+                )
                 new_cap = retune_compact_cap(
                     mcfg.compact_cap, observed, mcfg.pano_width * mcfg.pano_height
                 )
@@ -435,8 +471,19 @@ class EmbaPipeline:
             "phases_s": agg,
             "phase_counts": counts,
             "num_events": n_ev,
-            # Np per window (reference logs active pixels, solver.cpp:283-293)
-            "num_active_pixels": [st.num_active_pixels for st in window_stats],
+            # phase times are separate value-fetch-synced jitted calls (host
+            # LM mode); fused mode reports total_s only (phases_s stay 0)
+            "sync_method": window_stats[-1].sync_method if window_stats else "",
+            "total_s": sum(st.time_total_s for st in window_stats),
+            # Np per form call per window (reference solver.cpp:283-293)
+            "num_active_pixels": [st.active_px_per_form for st in window_stats],
+            # no silent truncation: compaction-overflow drops per window
+            "dropped_measurements": [
+                st.dropped_meas_per_form for st in window_stats
+            ],
+            "overflow_active_pixels": [
+                st.overflow_active_pixels for st in window_stats
+            ],
             "events_per_second": window_stats[-1].events_per_second()
             if window_stats
             else {},

@@ -48,32 +48,67 @@ class LMConfig:
 
 @dataclasses.dataclass
 class LMStats:
+    """Per-window instrumentation.
+
+    Phase times mirror the reference's ENABLE_CHRONO counters
+    (solver.cpp:105-151, 181-222, 242-294). Each phase is a SEPARATE jitted
+    call timed with a value-fetch sync (``float()`` of a scalar output —
+    ``jax.block_until_ready`` does not reliably block on the remote-TPU
+    transport, so phase boundaries are synced by fetching a scalar that
+    depends on the whole phase computation). The fused on-device LM loop is
+    one program with no internal phase boundaries: it reports
+    ``time_total_s`` ONLY and leaves the phase times at 0 (never estimated
+    splits).
+    """
+
     iterations: list = dataclasses.field(default_factory=list)  # per-iter dicts
     time_form_s: float = 0.0
     time_solve_s: float = 0.0
     time_objective_s: float = 0.0
+    # Wall time of the whole LM loop (host loop: ~= sum of phases; fused
+    # loop: the only measured quantity).
+    time_total_s: float = 0.0
     count_form: int = 0
     count_solve: int = 0
     count_objective: int = 0
     num_events: int = 0
-    # Np (reference solver.cpp:283-293); filled by the host LM loop only —
-    # the fused on-device loop never materializes the normal equations on
-    # host, so it stays 0 there.
-    num_active_pixels: int = 0
+    # Np per form call (reference logs it per iteration, solver.cpp:283-293)
+    # and measurements dropped by compaction-cap overflow per form call.
+    active_px_per_form: list = dataclasses.field(default_factory=list)
+    dropped_meas_per_form: list = dataclasses.field(default_factory=list)
+    # Active pixels beyond the compaction cap in this window (fused mode
+    # can't count dropped measurements exactly; this is the pixel-level
+    # overflow observed post-hoc — 0 means no truncation).
+    overflow_active_pixels: int = 0
     converged: bool = False
+    sync_method: str = "value-fetch"
+
+    @property
+    def num_active_pixels(self) -> int:
+        """Last observed Np (back-compat accessor)."""
+        return self.active_px_per_form[-1] if self.active_px_per_form else 0
+
+    def note_active_pixels(self, np_count: int):
+        self.active_px_per_form.append(int(np_count))
 
     def events_per_second(self) -> dict:
-        """Throughput per instrumented phase (the BASELINE.md metric)."""
+        """Throughput per instrumented phase (the BASELINE.md metric).
+
+        Phases with zero measured time (e.g. fused mode) are reported as
+        None, not fabricated from a split of the total.
+        """
         out = {}
         for name, t, c in [
             ("form", self.time_form_s, self.count_form),
             ("solve", self.time_solve_s, self.count_solve),
             ("objective", self.time_objective_s, self.count_objective),
         ]:
-            out[name] = (self.num_events * c / t) if t > 0 else float("inf")
-        total = self.time_form_s + self.time_solve_s + self.time_objective_s
+            out[name] = (self.num_events * c / t) if t > 0 else None
+        total = self.time_total_s or (
+            self.time_form_s + self.time_solve_s + self.time_objective_s
+        )
         n_iter = max(self.count_objective, 1)
-        out["total"] = self.num_events * n_iter / total if total > 0 else float("inf")
+        out["total"] = self.num_events * n_iter / total if total > 0 else None
         return out
 
 
@@ -84,10 +119,11 @@ def _init_costs(knots, Gx, Gy, dev, cfg):
     return lin, M.data_cost(lin.e, cfg), M.reg_cost(Gx, Gy, cfg.alpha)
 
 
-@partial(jax.jit, static_argnames=("cfg", "fix_first", "use_cg"))
-def _trial_step(knots, Gx, Gy, neq, lam, dev, cfg, damping, fix_first, use_cg):
-    """Solve + trial state + trial evaluation, one jitted call
-    (solver.cpp:189-268). Returns the full trial (reused on accept)."""
+@partial(jax.jit, static_argnames=("fix_first", "use_cg"))
+def _solve_update(knots, Gx, Gy, neq, lam, damping, fix_first, use_cg):
+    """Schur/CG solve + trial state (solver.cpp:189-240), one jitted call.
+    The last output is a sync scalar: fetching it on host waits for the whole
+    phase (value-fetch timing; no eager ops through the transport)."""
     if use_cg:
         x1, x2, cg_it, cg_err = M.solve_normal_eq_cg(neq, lam, fix_first)
     else:
@@ -96,19 +132,8 @@ def _trial_step(knots, Gx, Gy, neq, lam, dev, cfg, damping, fix_first, use_cg):
         cg_err = jnp.asarray(0.0, x1.dtype)
     knots_new = M.update_knots(knots, x1, fix_first)
     gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
-    lin_new = M.linearize(knots_new, gx_new, gy_new, dev, cfg, True)
-    cost_data_new = M.data_cost(lin_new.e, cfg)
-    cost_reg_new = M.reg_cost(gx_new, gy_new, cfg.alpha)
-    return (
-        knots_new,
-        gx_new,
-        gy_new,
-        lin_new,
-        cost_data_new,
-        cost_reg_new,
-        cg_it,
-        cg_err,
-    )
+    sync = x1[0] + gx_new[0, 0] + gy_new[0, 0] + knots_new[0, 0, 0]
+    return knots_new, gx_new, gy_new, cg_it, cg_err, sync
 
 
 def solve_window(
@@ -146,7 +171,8 @@ def solve_window(
     cost_decreased = True
     it = 0
 
-    t0 = time.perf_counter()
+    t_loop0 = time.perf_counter()
+    t0 = t_loop0
     lin, cost_data_j, cost_reg_j = _init_costs(knots, Gx, Gy, dev_win, cfg)
     cost_data, cost_reg = float(cost_data_j), float(cost_reg_j)
     stats.time_objective_s += time.perf_counter() - t0
@@ -162,38 +188,35 @@ def solve_window(
         if cost_decreased:
             t0 = time.perf_counter()
             neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
-            jax.block_until_ready(neq.b1)
+            # value-fetch sync: the scalar transfer waits for the whole
+            # forming executable (block_until_ready is unreliable here)
+            dropped = int(neq.dropped)
             stats.time_form_s += time.perf_counter() - t0
             stats.count_form += 1
-            if stats.num_active_pixels == 0:
-                stats.num_active_pixels = int(neq.active.sum())
+            stats.note_active_pixels(int(neq.active_count))
+            stats.dropped_meas_per_form.append(dropped)
 
         if callback is not None:
             callback(it, Gx, Gy, dict(lam=lam, cost_min=cost_min))
 
-        # Solve + trial state + trial cost in one device call.
+        # Phase: solve + trial state (one jitted call, value-fetch synced).
         t0 = time.perf_counter()
-        (
-            knots_new,
-            gx_new,
-            gy_new,
-            lin_new,
-            cost_data_new_j,
-            cost_reg_new_j,
-            cg_it,
-            cg_err,
-        ) = _trial_step(
-            knots, Gx, Gy, neq, jnp.asarray(lam, dt), dev_win, cfg, damping,
-            fix_first, use_cg,
+        knots_new, gx_new, gy_new, cg_it, cg_err, sync = _solve_update(
+            knots, Gx, Gy, neq, jnp.asarray(lam, dt), damping, fix_first,
+            use_cg,
+        )
+        float(sync)
+        t1 = time.perf_counter()
+        stats.time_solve_s += t1 - t0
+        stats.count_solve += 1
+
+        # Phase: objective (trial relinearize + costs; reused on accept).
+        lin_new, cost_data_new_j, cost_reg_new_j = _init_costs(
+            knots_new, gx_new, gy_new, dev_win, cfg
         )
         cost_data_new = float(cost_data_new_j)
         cost_reg_new = float(cost_reg_new_j)
-        t1 = time.perf_counter()
-        # attribute: solve ~ the Schur/CG part, objective ~ the relinearize;
-        # they are fused, so split the wall time between the two phases.
-        stats.time_solve_s += (t1 - t0) * 0.5
-        stats.count_solve += 1
-        stats.time_objective_s += (t1 - t0) * 0.5
+        stats.time_objective_s += time.perf_counter() - t1
         stats.count_objective += 1
         cost_new = cost_data_new + cost_reg_new
         it += 1
@@ -223,6 +246,7 @@ def solve_window(
                 count_tol_sat += 1
                 if count_tol_sat >= lm.num_times_tol_fun_sat:
                     stats.converged = True
+                    stats.time_total_s = time.perf_counter() - t_loop0
                     return knots, Gx, Gy, stats
         else:
             # Reject (solver.cpp:343-352).
@@ -230,6 +254,7 @@ def solve_window(
             lam *= 10.0
             count_tol_sat = 0
 
+    stats.time_total_s = time.perf_counter() - t_loop0
     return knots, Gx, Gy, stats
 
 

@@ -309,3 +309,70 @@ def test_compact_cap_overflow_drops_rows(scene):
     assert np.isfinite(np.asarray(x1)).all()
     gx, gy = M.update_map(Gx, Gy, x2, 1.0, neq1)
     assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_compact_cap_overflow_symmetric(scene):
+    """Overflow measurements (active pixels beyond the cap) must drop from
+    EVERY normal-equation block — pose block included — keeping the system
+    symmetric; neq.dropped counts them (no silent truncation)."""
+    import dataclasses as dc
+
+    # shrink the kernel row-tile so the fixture's modest active set really
+    # overflows an undersized cap (row padding granularity = TILE_PX)
+    from emba_tpu.kernels import a12_accum
+
+    tile_px = 64
+    orig_tile = a12_accum.TILE_PX
+    a12_accum.TILE_PX = tile_px
+    try:
+        cfg = make_cfg(scene, thres_valid_pixel=2)
+        traj, win, dev, lut = build_dev(scene, cfg, perturb=0.01)
+        knots = jnp.asarray(traj.knots)
+        Gx = jnp.asarray(scene.gx)
+        Gy = jnp.asarray(scene.gy)
+        nk = traj.num_knots
+
+        lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
+        neq0 = M.form_normal_eq(lin, Gx, Gy, cfg, nk)
+        assert int(neq0.dropped) == 0
+        assert int(neq0.active_count) == int(neq0.active.sum())
+        n_active = int(neq0.active.sum())
+        assert n_active > tile_px, "fixture too sparse for an overflow test"
+        cap = max(8, n_active // 2)
+        r_pad = -(-cap // tile_px) * tile_px
+        _overflow_symmetry_check(lin, Gx, Gy, cfg, nk, cap, r_pad)
+    finally:
+        a12_accum.TILE_PX = orig_tile
+
+
+def _overflow_symmetry_check(lin, Gx, Gy, cfg, nk, cap, r_pad):
+    import dataclasses as dc
+
+    # emulate the capped row space on host: active pixels in compact order
+    active = np.asarray(lin.num_ev_map) >= cfg.thres_valid_pixel
+    compact_id = np.cumsum(active.astype(np.int64)) - 1
+    pix = np.asarray(lin.pm_pix)
+    on_overflow = active[pix] & (compact_id[pix] >= r_pad)
+    expected_dropped = int(
+        np.sum(np.asarray(lin.inlier) & on_overflow)
+    )
+    assert expected_dropped > 0  # the fixture must actually overflow
+
+    cfg_c = dc.replace(cfg, compact_cap=cap)
+    neq1 = M.form_normal_eq(lin, Gx, Gy, cfg_c, nk)
+    assert int(neq1.dropped) == expected_dropped
+
+    # reference semantics check: pose block equals a no-cap build where the
+    # overflow measurements are masked out entirely
+    lin_masked = dataclasses.replace(
+        lin,
+        inlier=lin.inlier & jnp.asarray(~on_overflow),
+        e=jnp.where(jnp.asarray(on_overflow), 0.0, lin.e),
+    )
+    neq2 = M.form_normal_eq(lin_masked, Gx, Gy, cfg, nk)
+    np.testing.assert_allclose(
+        np.asarray(neq1.A11), np.asarray(neq2.A11), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(neq1.b1), np.asarray(neq2.b1), atol=1e-10
+    )

@@ -432,3 +432,39 @@ def test_pipeline_adaptive_compaction(dataset, monkeypatch):
         res_c.trajectory.knots, res_full.trajectory.knots, atol=1e-8
     )
     np.testing.assert_allclose(res_c.gx, res_full.gx, atol=1e-8)
+
+
+def test_evo_dumps_per_iteration(dataset, tmp_path):
+    """--record-maps must populate the per-LM-iteration evolution dirs
+    (reference saveEvoData, solver.cpp:370-425): one Gx/Gy/HSV/Poisson image
+    set per iteration, plus the per-window map_opt set."""
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.02, stop_time=0.4, c_th=0.1, alpha=0.5, max_num_iter=3,
+        dt_knots=0.05, dtype="float64",
+    )
+    out = tmp_path / "evo"
+    res = EmbaPipeline(
+        cfg, load_camera_yaml(str(dataset / "calib.yaml")),
+        (t, x, y, pol), times, rots, init_gx=gx, init_gy=gy,
+        result_dir=str(out), record_data=True, record_maps=True,
+    ).run()
+    n_iter = len(res.window_stats[0].iterations)
+    assert n_iter >= 1
+    for d in ("Gx_evo", "Gy_evo", "G_hsv_evo", "map_poisson_evo"):
+        files = sorted(os.listdir(out / d))
+        assert len(files) >= n_iter, (d, files)
+    assert len(os.listdir(out / "map_opt")) == 4  # final per-window set
+
+    # runtime.json carries the no-silent-truncation counters
+    rt = json.load(open(out / "final_results" / "runtime.json"))
+    assert rt["sync_method"] == "value-fetch"
+    assert rt["total_s"] > 0
+    assert all(n > 0 for n in rt["num_active_pixels"][0])
+    assert all(d == 0 for d in rt["dropped_measurements"][0])
