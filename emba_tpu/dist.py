@@ -68,6 +68,9 @@ def pad_window(win_dev: M.DeviceWindow, multiple: int) -> M.DeviceWindow:
         batch_ids=pad_arr(win_dev.batch_ids),  # padded events -> batch 0
         batch_s=win_dev.batch_s,
         batch_u=win_dev.batch_u,
+        sensor_pix=(
+            None if win_dev.sensor_pix is None else pad_arr(win_dev.sensor_pix)
+        ),
     )
 
 
@@ -86,6 +89,11 @@ def shard_window(win_dev: M.DeviceWindow, mesh: Mesh) -> M.DeviceWindow:
         batch_ids=jax.device_put(win_dev.batch_ids, ev),
         batch_s=jax.device_put(win_dev.batch_s, rep),
         batch_u=jax.device_put(win_dev.batch_u, rep),
+        sensor_pix=(
+            None
+            if win_dev.sensor_pix is None
+            else jax.device_put(win_dev.sensor_pix, ev)
+        ),
     )
 
 
@@ -177,85 +185,169 @@ def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first:
 
 
 # ---------------------------------------------------------------------------
-# Explicit shard_map distributed Gauss-Newton reduction.
+# Explicit shard_map layer: exact cross-shard pairing (halo exchange),
+# distributed Gauss-Newton reduction, and the full sharded LM window.
 # ---------------------------------------------------------------------------
 
 
-def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
-    """Explicit-collective variant of the normal-equation build: events are
-    sharded over the ``ev`` axis; each shard linearizes its events locally
-    and the reduction is spelled out as collectives (SURVEY.md §2.3):
-
-      * the global inlier-count map (active-pixel votes) is ``psum`` over
-        ``ev`` (the one cross-shard coupling BEFORE weighting: a pixel's
-        activity depends on events from every shard),
-      * the small pose block (A11, b1 — a few hundred KB) is ``psum`` over
-        ``ev``: the distributed Gauss-Newton tree reduction,
-      * the map-domain blocks (A12 / A22 / b2) are ``psum`` over ``ev`` then
-        kept sharded over ``tile`` (pixel rows) — the reduce-scatter shape:
-        per-tile solves never leave their device.
-
-    The per-shard prev-event gather is local: the caller must shard events
-    so each pair (prev, curr) lives in one shard — `shard_window` keeps the
-    time-contiguous layout, and cross-shard pairs are masked out by clipping
-    ``prev_idx`` into the shard (a <0.1% measurement loss at realistic shard
-    counts; the GSPMD path in `make_sharded_step` keeps them exactly).
-
-    Returns fn(knots, Gx, Gy, dev_win) -> NormalEq (A12 left ev-replicated,
-    tile-sharded by constraint).
-    """
+def _shard_map(f, mesh, in_specs, out_specs):
+    """Version-compat shard_map (jax >= 0.8 `check_vma`, older `check_rep`)."""
     try:
-        from jax import shard_map as _sm  # jax >= 0.8 (check_vma kwarg)
+        from jax import shard_map as _sm  # jax >= 0.8
 
-        def shard_map(f, mesh, in_specs, out_specs):
-            return _sm(
-                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_vma=False,
-            )
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
     except ImportError:
-        from functools import partial as _pt
-
         from jax.experimental.shard_map import shard_map as _sm
 
-        shard_map = _pt(_sm, check_rep=False)
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def shard_window_all(win_dev: M.DeviceWindow, mesh: Mesh) -> M.DeviceWindow:
+    """Place the window with events sharded over ALL mesh devices (the
+    combined ("ev", "tile") axis): the sharded LM window treats the whole
+    mesh as one data-parallel axis for linearize/forming and as the map-row
+    split for the Schur reduction."""
+    n_dev = mesh.shape["ev"] * mesh.shape["tile"]
+    win_dev = pad_window(win_dev, n_dev)
+    ev = NamedSharding(mesh, P(("ev", "tile")))
+    rep = NamedSharding(mesh, P())
+    return M.DeviceWindow(
+        bearings=jax.device_put(
+            win_dev.bearings, NamedSharding(mesh, P(None, ("ev", "tile")))
+        ),
+        pol_signed=jax.device_put(win_dev.pol_signed, ev),
+        prev_idx=jax.device_put(win_dev.prev_idx, ev),
+        has_prev=jax.device_put(win_dev.has_prev, ev),
+        batch_ids=jax.device_put(win_dev.batch_ids, ev),
+        batch_s=jax.device_put(win_dev.batch_s, rep),
+        batch_u=jax.device_put(win_dev.batch_u, rep),
+        sensor_pix=jax.device_put(win_dev.sensor_pix, ev),
+    )
+
+
+def _linearize_sharded(
+    knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev, batch_ids,
+    batch_s, batch_u, spix, cfg: M.ModelConfig, num_sensor_pix: int,
+    axes, n_shards: int, my, need_deriv: bool,
+):
+    """Shard-local linearization with EXACT cross-shard pairing.
+
+    The reference pairs consecutive events per sensor pixel with no regard
+    to any partitioning (model.cpp:179-246). Under time-contiguous event
+    sharding, only the FIRST local event at a sensor pixel can have its prev
+    in an earlier shard; that prev is the LAST event at the pixel in the
+    greatest earlier shard that saw the pixel. The halo exchange therefore
+    ships one record per (shard, sensor pixel) — the shard's last event's
+    warped position, knot Jacobian, and segment index — via one all_gather
+    over ICI (SURVEY.md §2.3's collective-permute plan, generalized to
+    arbitrary-distance prevs), and each shard folds the tables of earlier
+    shards into a per-pixel "latest prev" record. Payload: (3 + 2D) floats
+    x num_sensor_pix x n_shards — e.g. 128x128 sensor, 8 shards, order 2:
+    7.5 MB, independent of the event count.
+    """
+    pm, cp_idx, dpm = M.warp.warp_events(
+        knots, batch_s, batch_u, batch_ids, bearings, cfg.pano,
+        cfg.spline_order, need_jacobian=need_deriv,
+    )
+    pmx, pmy = pm
+    d = cfg.dim_block
+    nl = pmx.shape[0]
+    base = my * nl
+    local_prev = prev_idx - base
+    in_shard = (local_prev >= 0) & (local_prev < nl)
+    lp = jnp.clip(local_prev, 0, nl - 1)
+
+    # -- halo export: this shard's LAST event per sensor pixel --------------
+    last = jnp.full((num_sensor_pix,), -1, jnp.int32).at[spix].max(
+        jnp.arange(nl, dtype=jnp.int32)
+    )
+    valid = last >= 0
+    li = jnp.maximum(last, 0)
+    feats = [pmx[li][None, :], pmy[li][None, :]]
+    if need_deriv:
+        feats.append(jnp.take(dpm.reshape(2 * d, nl), li, axis=1))
+    export = jnp.where(valid[None, :], jnp.concatenate(feats, axis=0), 0.0)
+    exp_i = jnp.where(valid, cp_idx[li], 0)
+
+    # -- one all_gather, then fold earlier shards (latest wins) -------------
+    tf = jax.lax.all_gather(export, axes)  # (n_shards, F, P)
+    ti = jax.lax.all_gather(exp_i, axes)  # (n_shards, P)
+    tv = jax.lax.all_gather(valid, axes)  # (n_shards, P)
+    sel = jnp.zeros_like(export)
+    sel_i = jnp.zeros_like(exp_i)
+    for sp in range(n_shards):
+        use = tv[sp] & (jnp.asarray(sp, my.dtype) < my)
+        sel = jnp.where(use[None, :], tf[sp], sel)
+        sel_i = jnp.where(use, ti[sp], sel_i)
+
+    # -- per-event prev data: local gather or halo lookup -------------------
+    halo = jnp.take(sel, spix, axis=1)  # (F, nl)
+    halo_i = sel_i[spix]
+    pm_prev_loc = jnp.take(jnp.stack([pmx, pmy]), lp, axis=1)
+    pm_prev = jnp.where(in_shard[None, :], pm_prev_loc, halo[:2])
+    if need_deriv:
+        dpm_prev_loc = jnp.take(dpm.reshape(2 * d, nl), lp, axis=1)
+        dpm_prev = jnp.where(in_shard[None, :], dpm_prev_loc, halo[2:]).reshape(
+            2, d, nl
+        )
+    else:
+        dpm_prev = None
+    i_p = jnp.where(in_shard, cp_idx[lp], halo_i)
+
+    lin = M.linearize_from_warp(
+        pmx, pmy, cp_idx, dpm, pm_prev, dpm_prev, i_p, has_prev, pol_signed,
+        Gx, Gy, cfg, need_deriv,
+    )
+    # global pixel activity (the one coupling BEFORE weighting: a pixel's
+    # active status depends on events from every shard)
+    import dataclasses as _dc
+
+    return _dc.replace(lin, num_ev_map=jax.lax.psum(lin.num_ev_map, axes))
+
+
+def make_shardmap_normal_eq(
+    mesh: Mesh, cfg: M.ModelConfig, num_knots: int, num_sensor_pix: int
+):
+    """Explicit-collective normal-equation build: events sharded over ``ev``,
+    EXACT cross-shard pairing via the halo exchange (no dropped pairs — the
+    distributed system equals the single-device one), distributed
+    Gauss-Newton reduction as collectives (SURVEY.md §2.3):
+
+      * halo all_gather of per-(shard, sensor-pixel) boundary records,
+      * psum over ``ev`` of the global inlier-count map,
+      * psum over ``ev`` of the pose block (A11, b1),
+      * map-domain blocks (A12 / A22 / b2) psum'd over ``ev`` then row-sliced
+        per ``tile`` (the reduce-scatter shape: per-tile solves stay local).
+
+    The L2 regularizer is applied on shard (0, *) only so the reduced system
+    carries it exactly once (reference model.cpp:689-719).
+
+    Returns fn(knots, Gx, Gy, dev_win) -> NormalEq (map rows tile-sharded).
+    """
     import dataclasses as _dc0
 
-    # Compaction stays off (pix2row must be pixel-identity so the post-psum
-    # tile slicing lines up), but the Pallas A12 kernel is shard-local and
-    # composes with shard_map: each shard sorts/accumulates its own events,
-    # the psum reduction after is unchanged.
+    # Compaction stays off in THIS builder (its per-tile row slicing assumes
+    # the full pixel row space); the sharded LM window composes compaction
+    # with sharding (make_solve_window_sharded).
     cfg = _dc0.replace(cfg, compact_cap=None)
     n_ev = mesh.shape["ev"]
 
     def per_shard(knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
-                  batch_ids, batch_s, batch_u):
-        n_local = pol_signed.shape[0]
-        shard = jax.lax.axis_index("ev")
-        # remap global prev indices into this shard; pairs that cross the
-        # shard boundary are dropped (masked).
-        base = shard * n_local
-        local_prev = prev_idx - base
-        in_shard = (local_prev >= 0) & (local_prev < n_local)
-        dev_local = M.DeviceWindow(
-            bearings=bearings,
-            pol_signed=pol_signed,
-            prev_idx=jnp.clip(local_prev, 0, n_local - 1),
-            has_prev=has_prev & in_shard,
-            batch_ids=batch_ids,
-            batch_s=batch_s,
-            batch_u=batch_u,
+                  batch_ids, batch_s, batch_u, spix):
+        my = jax.lax.axis_index("ev")
+        lin = _linearize_sharded(
+            knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
+            batch_ids, batch_s, batch_u, spix, cfg, num_sensor_pix,
+            ("ev",), n_ev, my, True,
         )
-        lin = M.linearize(knots, Gx, Gy, dev_local, cfg, True)
-        # global activity: psum of per-shard inlier counts (collective #1)
-        import dataclasses as _dc
+        reg_scale = (my == 0).astype(Gx.dtype)
+        neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots, reg_scale)
 
-        lin = _dc.replace(lin, num_ev_map=jax.lax.psum(lin.num_ev_map, "ev"))
-        neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
-
-        # distributed GN reduction (collectives #2, #3): pose block psum'd
-        # (replicated result); map-domain blocks summed over events and kept
-        # sharded by pano tile — each device emits its tile's row slice (on
-        # real hardware this psum+slice is a reduce-scatter over ICI).
+        # distributed GN reduction: pose block psum'd (replicated result);
+        # map-domain blocks summed over events and row-sliced per pano tile
+        # (on hardware this psum+slice lowers toward a reduce-scatter).
         tile = jax.lax.axis_index("tile")
         n_tile = jax.lax.axis_size("tile")
         rows = neq.a22_xx.shape[0] // n_tile
@@ -278,18 +370,20 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
             ),
             pix2row=neq.pix2row,
             active_pix=neq.active_pix,
-            # activity is global (num_ev_map was psum'd); dropped is per-shard
+            # activity is global (num_ev_map was psum'd); dropped is 0 here
+            # (no compaction in this builder)
             active_count=neq.active_count,
-            dropped=jax.lax.psum(neq.dropped, "ev"),
+            dropped=neq.dropped,
         )
 
     ev_spec = P("ev")
-    shardfn = shard_map(
+    shardfn = _shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(
             P(), P(), P(),  # knots, Gx, Gy replicated
             P(None, "ev"), ev_spec, ev_spec, ev_spec, ev_spec, P(), P(),
+            ev_spec,
         ),
         out_specs=M.NormalEq(
             A11=P(), b1=P(),
@@ -302,32 +396,271 @@ def make_shardmap_normal_eq(mesh: Mesh, cfg: M.ModelConfig, num_knots: int):
 
     @jax.jit
     def fn(knots, Gx, Gy, dev_win: M.DeviceWindow):
-        neq = shardfn(
+        return shardfn(
             knots, Gx, Gy, dev_win.bearings, dev_win.pol_signed,
             dev_win.prev_idx, dev_win.has_prev, dev_win.batch_ids,
-            dev_win.batch_s, dev_win.batch_u,
+            dev_win.batch_s, dev_win.batch_u, dev_win.sensor_pix,
         )
-        # The L2 regularizer was added once per event shard inside
-        # form_normal_eq and then psum'd: remove the duplicate (n_ev - 1)
-        # contributions (reference semantics: applied exactly once,
-        # model.cpp:689-719).
-        if n_ev > 1:
-            dtp = neq.b1.dtype
-            alpha = jnp.asarray(cfg.alpha * (n_ev - 1), dtp)
-            act = neq.active.astype(dtp)
-            hw = cfg.num_pix
-            hw_pad = neq.a22_xx.shape[0]
-            gx_pad = jnp.pad(Gx.reshape(-1), (0, hw_pad - hw)).astype(dtp)
-            gy_pad = jnp.pad(Gy.reshape(-1), (0, hw_pad - hw)).astype(dtp)
-            import dataclasses as _dc
 
-            neq = _dc.replace(
-                neq,
-                a22_xx=neq.a22_xx - alpha * act,
-                a22_yy=neq.a22_yy - alpha * act,
-                b2_x=neq.b2_x + alpha * act * gx_pad,
-                b2_y=neq.b2_y + alpha * act * gy_pad,
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# The full sharded LM window (reference solveTimeWindow, solver.cpp:11-368,
+# as ONE SPMD program over the mesh).
+# ---------------------------------------------------------------------------
+
+
+def _solve_rowchunks(
+    A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c, lam,
+    fix_first: bool, axes, dim: int,
+):
+    """Distributed Schur solve: mirrors ``model.solve_normal_eq`` exactly,
+    with the map rows split into per-device chunks — each device computes
+    its chunk's contribution to S and the rhs (psum-reduced, the distributed
+    Gauss-Newton tree reduction), the small Cholesky runs replicated, and x2
+    is solved chunk-locally then all_gathered."""
+    dt = b1.dtype
+    dp_pad = A12_c.shape[1] // 2
+    Ae = A12_c[:, :dp_pad]
+    Ao = A12_c[:, dp_pad:]
+    col_lo = 3 if fix_first else 0
+    colmask = (
+        (jnp.arange(dp_pad) >= col_lo) & (jnp.arange(dp_pad) < dim)
+    ).astype(dt)
+    if fix_first:
+        m = (jnp.arange(dim) >= 3).astype(dt)
+        A11 = A11 * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        b1 = b1 * m
+    Ae = Ae * colmask[None, :]
+    Ao = Ao * colmask[None, :]
+
+    A11m = A11 + lam * jnp.diag(jnp.diag(A11))
+    # damped per-row 2x2 inverse (model._damped_a22_inv on the chunk)
+    a = axx_c * (1.0 + lam)
+    b = axy_c
+    c = ayy_c * (1.0 + lam)
+    det = a * c - b * b
+    det_safe = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    mask = (active_c & (jnp.abs(det) >= 1e-30)).astype(dt)
+    inv = mask / det_safe
+    m00, m01, m11 = c * inv, -b * inv, a * inv
+
+    Ze = Ae * m00[:, None] + Ao * m01[:, None]
+    Zo = Ae * m01[:, None] + Ao * m11[:, None]
+    S_part = jax.lax.dot_general(
+        Ae, Ze, (((0,), (0,)), ((), ())), preferred_element_type=dt
+    ) + jax.lax.dot_general(
+        Ao, Zo, (((0,), (0,)), ((), ())), preferred_element_type=dt
+    )
+    ib2x = m00 * b2x_c + m01 * b2y_c
+    ib2y = m01 * b2x_c + m11 * b2y_c
+    rhs_part = ib2x @ Ae + ib2y @ Ao
+    # the two psums ride together (S is (3K)^2 ~ a few hundred KB)
+    S_red, rhs_red = jax.lax.psum((S_part, rhs_part), axes)
+    S = A11m - S_red[:dim, :dim]
+    rhs = b1 - rhs_red[:dim]
+
+    eps = 1e-10 * jnp.maximum(jnp.max(jnp.diag(S)), 1.0) + 1e-30
+    S = S + eps * jnp.eye(dim, dtype=dt)
+    chol, lower = jax.scipy.linalg.cho_factor(S)
+    x1 = jax.scipy.linalg.cho_solve((chol, lower), rhs)
+
+    x1_pad = jnp.zeros((dp_pad,), dt).at[:dim].set(x1)
+    vx = b2x_c - Ae @ x1_pad
+    vy = b2y_c - Ao @ x1_pad
+    x2x = m00 * vx + m01 * vy
+    x2y = m01 * vx + m11 * vy
+    x2_c = jnp.stack([x2x, x2y], axis=0)  # (2, rows_chunk)
+    x2 = jax.lax.all_gather(x2_c, axes, axis=1, tiled=True)  # (2, r_pad)
+    return x1, x2
+
+
+def make_solve_window_sharded(
+    mesh: Mesh,
+    cfg: M.ModelConfig,
+    num_knots: int,
+    num_sensor_pix: int,
+    fix_first: bool = False,
+    max_num_iter: int = 50,
+    num_times_tol_fun_sat: int = 2,
+):
+    """The COMPLETE LM time-window solve (reference ``EMBA::solveTimeWindow``,
+    solver.cpp:11-368) as one SPMD program over the mesh — accept/reject,
+    the x10 / /10 lambda schedule with bounds [1e-300, 1e3], tol-sat
+    convergence counting, and trial-state reuse, identical control flow to
+    ``solver.solve_window_fused``.
+
+    Parallel structure (SURVEY.md §2.3):
+      * events are sharded over ALL devices (the combined ("ev","tile")
+        axis) — every device linearizes and accumulates its own events, with
+        EXACT cross-shard pairing via the halo all_gather,
+      * trial cost: one scalar psum per iteration,
+      * pose block (A11, b1): psum, replicated (~300x300),
+      * map-domain blocks: summed over shards, then row-CHUNKED over all
+        devices for the Schur reduction (each device GEMMs its chunk of
+        A12^T A22m^-1 A12; partial S psum'd); x2 solved chunk-locally and
+        all_gathered for the replicated map update,
+      * the Pallas accumulation kernel runs shard-locally (static local
+        shapes); active-pixel compaction composes (the compact row space is
+        derived from the psum'd global activity map, identical on every
+        shard).
+
+    Returns jitted fn(knots, Gx, Gy, dev_win, damping, tol_fun) ->
+    (knots, Gx, Gy, cost_min, iterations, converged), all replicated.
+    """
+    n_ev, n_tile = mesh.shape["ev"], mesh.shape["tile"]
+    n_shards = n_ev * n_tile
+    axes = ("ev", "tile")
+    dim = 3 * num_knots
+
+    def per_shard(knots, Gx, Gy, damping, tol_fun, bearings, pol_signed,
+                  prev_idx, has_prev, batch_ids, batch_s, batch_u, spix):
+        dt = Gx.dtype
+        my = jax.lax.axis_index("ev") * n_tile + jax.lax.axis_index("tile")
+        reg_scale = (my == 0).astype(dt)
+
+        def lin_local(knots_, gx_, gy_):
+            return _linearize_sharded(
+                knots_, gx_, gy_, bearings, pol_signed, prev_idx, has_prev,
+                batch_ids, batch_s, batch_u, spix, cfg, num_sensor_pix,
+                axes, n_shards, my, True,
             )
-        return neq
+
+        def cost_of(lin, gx_, gy_):
+            return jax.lax.psum(M.data_cost(lin.e, cfg), axes) + M.reg_cost(
+                gx_, gy_, cfg.alpha
+            )
+
+        def form_reduce(lin, gx_, gy_):
+            """Form shard-locally, reduce: pose block replicated, map rows
+            chunked over all devices."""
+            neq = M.form_normal_eq(lin, gx_, gy_, cfg, num_knots, reg_scale)
+            r_pad = neq.a22_xx.shape[0]
+            if r_pad % n_shards:
+                raise ValueError(
+                    f"map row space {r_pad} not divisible by {n_shards} "
+                    "devices (pad TILE_PX / compact_cap)"
+                )
+            rows_c = r_pad // n_shards
+
+            def chunk(x):
+                s = jax.lax.psum(x, axes)
+                return jax.lax.dynamic_slice_in_dim(
+                    s, my * rows_c, rows_c, axis=0
+                )
+
+            return (
+                jax.lax.psum(neq.A11, axes),
+                jax.lax.psum(neq.b1, axes),
+                chunk(neq.a22_xx),
+                chunk(neq.a22_xy),
+                chunk(neq.a22_yy),
+                chunk(neq.b2_x),
+                chunk(neq.b2_y),
+                chunk(neq.A12),
+                jax.lax.dynamic_slice_in_dim(
+                    neq.active, my * rows_c, rows_c, axis=0
+                ),
+                neq.pix2row,
+                neq.active_pix,
+            )
+
+        def update_map_full(gx_, gy_, x2, pix2row, active_pix):
+            """model.update_map on the all_gathered x2 (replicated)."""
+            shape = gx_.shape
+            r_pad = x2.shape[1]
+            rows = jnp.minimum(pix2row, r_pad - 1)
+            valid = (pix2row < r_pad) & active_pix
+            act = active_pix.reshape(shape)
+            dxp = jnp.where(valid, x2[0, rows], 0.0).reshape(shape)
+            dyp = jnp.where(valid, x2[1, rows], 0.0).reshape(shape)
+            gx2 = jnp.where(act, gx_ + damping * dxp, 0.0)
+            gy2 = jnp.where(act, gy_ + damping * dyp, 0.0)
+            return gx2, gy2
+
+        lin0 = lin_local(knots, Gx, Gy)
+        cost0 = cost_of(lin0, Gx, Gy)
+        red0 = form_reduce(lin0, Gx, Gy)
+
+        def lm_iter(state):
+            (knots, Gx, Gy, lin, red, lam, cost_min, count_tol, it,
+             converged) = state
+            (A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
+             pix2row, active_pix) = red
+
+            x1, x2 = _solve_rowchunks(
+                A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
+                lam, fix_first, axes, dim,
+            )
+            knots_new = M.update_knots(knots, x1, fix_first)
+            gx_new, gy_new = update_map_full(Gx, Gy, x2, pix2row, active_pix)
+            lin_new = lin_local(knots_new, gx_new, gy_new)
+            cost_new = cost_of(lin_new, gx_new, gy_new)
+
+            accept = cost_new < cost_min
+            # accept: take trial state + relinearized reduced system,
+            # lam /= 10; reject: keep, lam *= 10 (solver.cpp:299-352).
+            # `accept` is replicated (derived from psum'd costs), so the
+            # collectives inside the branch execute uniformly.
+            red_new, lin_sel = jax.lax.cond(
+                accept,
+                lambda: (form_reduce(lin_new, gx_new, gy_new), lin_new),
+                lambda: (red, lin),
+            )
+            knots = jnp.where(accept, knots_new, knots)
+            Gx = jnp.where(accept, gx_new, Gx)
+            Gy = jnp.where(accept, gy_new, Gy)
+            lam = jnp.where(accept, lam / 10.0, lam * 10.0)
+            rel = jnp.abs(1.0 - cost_new / (cost_min + 1e-10))
+            count_tol = jnp.where(
+                accept, jnp.where(rel < tol_fun, count_tol + 1, 0), 0
+            )
+            converged = count_tol >= num_times_tol_fun_sat
+            cost_min = jnp.where(accept, cost_new, cost_min)
+            return (knots, Gx, Gy, lin_sel, red_new, lam, cost_min,
+                    count_tol, it + 1, converged)
+
+        def cond(state):
+            lam, cost_min, it, converged = (
+                state[5], state[6], state[8], state[9]
+            )
+            return (
+                (it <= max_num_iter)
+                & (cost_min > 1e-16)
+                & (lam <= 1e3)
+                & (lam >= 1e-300)
+                & jnp.logical_not(converged)
+            )
+
+        state0 = (
+            knots, Gx, Gy, lin0, red0, jnp.asarray(1e-3, dt), cost0,
+            jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
+        )
+        knots, Gx, Gy, _lin, _red, _lam, cost_min, _ct, it, converged = (
+            jax.lax.while_loop(cond, lm_iter, state0)
+        )
+        return knots, Gx, Gy, cost_min, it, converged
+
+    ev_spec = P(("ev", "tile"))
+    shardfn = _shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(),
+            P(None, ("ev", "tile")), ev_spec, ev_spec, ev_spec, ev_spec,
+            P(), P(), ev_spec,
+        ),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+    )
+
+    @jax.jit
+    def fn(knots, Gx, Gy, dev_win: M.DeviceWindow, damping, tol_fun):
+        return shardfn(
+            knots, Gx, Gy, damping, tol_fun, dev_win.bearings,
+            dev_win.pol_signed, dev_win.prev_idx, dev_win.has_prev,
+            dev_win.batch_ids, dev_win.batch_s, dev_win.batch_u,
+            dev_win.sensor_pix,
+        )
 
     return fn

@@ -136,10 +136,14 @@ class DeviceWindow:
     batch_ids: jax.Array  # (N,) int32 event -> pose batch
     batch_s: jax.Array  # (NB,) int32 spline segment per batch
     batch_u: jax.Array  # (NB,) normalized offset per batch (mid-time)
+    # (N,) int32 flat sensor pixel — the key of the cross-shard pairing halo
+    # exchange (dist.py). None on windows built before sharding was in play.
+    sensor_pix: jax.Array | None = None
 
     @classmethod
     def from_window(cls, win, bearing_lut: np.ndarray, sensor_width: int, dtype):
-        b = bearing_lut[win.sensor_flat_idx(sensor_width)]
+        spix = win.sensor_flat_idx(sensor_width)
+        b = bearing_lut[spix]
         return cls(
             bearings=jnp.asarray(np.ascontiguousarray(b.T), dtype),
             pol_signed=jnp.asarray(2.0 * (win.pol.astype(np.float64) - 0.5), dtype),
@@ -148,6 +152,7 @@ class DeviceWindow:
             batch_ids=jnp.asarray(win.batch_ids(), jnp.int32),
             batch_s=jnp.asarray(win.batch_s, jnp.int32),
             batch_u=jnp.asarray(win.batch_u, dtype),
+            sensor_pix=jnp.asarray(spix, jnp.int32),
         )
 
 
@@ -177,24 +182,47 @@ class Linearization:
 def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=True):
     """Warp + pair + residual + per-measurement Jacobians
     (reference ``LEGM::evaluateDataError``, model.cpp:72-258)."""
-    pano = cfg.pano
     pm, cp_idx, dpm_dcp = warp.warp_events(
         knots,
         dev.batch_s,
         dev.batch_u,
         dev.batch_ids,
         dev.bearings,
-        pano,
+        cfg.pano,
         cfg.spline_order,
         need_jacobian=need_deriv,
     )
     pmx, pmy = pm  # (N,), (N,)
+    d = cfg.dim_block
 
+    # local pairing: gather the prev event's warped data by index
     pm_prev = jnp.take(jnp.stack([pmx, pmy]), dev.prev_idx, axis=1)  # (2, N)
+    if need_deriv:
+        dpm_prev = jnp.take(
+            dpm_dcp.reshape(2 * d, -1), dev.prev_idx, axis=1
+        ).reshape(2, d, -1)  # one fused column gather
+    else:
+        dpm_prev = None
+    i_p = cp_idx[dev.prev_idx]
+    return linearize_from_warp(
+        pmx, pmy, cp_idx, dpm_dcp, pm_prev, dpm_prev, i_p, dev.has_prev,
+        dev.pol_signed, Gx, Gy, cfg, need_deriv,
+    )
+
+
+def linearize_from_warp(
+    pmx, pmy, cp_idx, dpm_dcp, pm_prev, dpm_prev, i_p, has_prev, pol_signed,
+    Gx, Gy, cfg: ModelConfig, need_deriv=True,
+):
+    """Residual + Jacobian core given warped curr events and their PREV-event
+    data. The single-device path gathers prevs locally (``linearize``); the
+    sharded path supplies cross-shard prevs from a halo exchange
+    (``dist.py``) — the math (reference model.cpp:179-246) is identical.
+    """
     dx = pmx - pm_prev[0]
     dy = pmy - pm_prev[1]
     dp_norm2 = dx * dx + dy * dy
-    inlier = dev.has_prev & (dp_norm2 <= cfg.outlier_dp_norm**2)
+    inlier = has_prev & (dp_norm2 <= cfg.outlier_dp_norm**2)
 
     # Nearest pano pixel of the curr event (std::round = half away from zero;
     # pm >= 0 here so floor(pm + 0.5) matches; reference model.cpp:209-211).
@@ -206,7 +234,7 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     g_at = jnp.take(gmaps, pm_pix, axis=1)  # one fused gather -> (2, N)
     gx, gy = g_at[0], g_at[1]
     c_pred = gx * dx + gy * dy
-    c_meas = dev.pol_signed * cfg.c_th
+    c_meas = pol_signed * cfg.c_th
     e = jnp.where(inlier, c_meas - c_pred, 0.0)
 
     num_ev_map = jnp.zeros((cfg.num_pix,), jnp.int32).at[pm_pix].add(
@@ -225,7 +253,7 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
             Jc=zeros_d,
             Jp=zeros_d,
             i_c=cp_idx,
-            i_p=cp_idx[dev.prev_idx],
+            i_p=i_p,
         )
 
     gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
@@ -240,11 +268,7 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     ty = gy + dx * gxy + dy * gyy
 
     # dpm_dcp: (2, D, N). Jc = temp . dpm_dcp(curr); Jp = -Gpm . dpm_dcp(prev)
-    d = cfg.dim_block
     Jc = tx[None, :] * dpm_dcp[0] + ty[None, :] * dpm_dcp[1]  # (D, N)
-    dpm_prev = jnp.take(
-        dpm_dcp.reshape(2 * d, -1), dev.prev_idx, axis=1
-    ).reshape(2, d, -1)  # one fused column gather
     Jp = -(gx[None, :] * dpm_prev[0] + gy[None, :] * dpm_prev[1])
 
     return Linearization(
@@ -257,7 +281,7 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
         Jc=Jc,
         Jp=Jp,
         i_c=cp_idx,
-        i_p=cp_idx[dev.prev_idx],
+        i_p=i_p,
     )
 
 
@@ -343,7 +367,8 @@ def _pad_to_chunks(x, n_pad, value=0):
 
 @partial(jax.jit, static_argnames=("cfg", "num_knots"))
 def form_normal_eq(
-    lin: Linearization, Gx, Gy, cfg: ModelConfig, num_knots: int
+    lin: Linearization, Gx, Gy, cfg: ModelConfig, num_knots: int,
+    reg_scale=None,
 ) -> NormalEq:
     """Build the Schur-structured normal equations (reference
     ``formNormalEq``/``formNormalEqIRLS`` model.cpp:316-687 + ``applyL2Reg``
@@ -352,6 +377,11 @@ def form_normal_eq(
     Masking replaces the reference's dynamic active-pixel sets: a measurement
     enters iff it is an inlier AND its curr event lands on an active pixel
     (>= thres_valid_pixel inliers, model.cpp:407-411).
+
+    ``reg_scale``: optional traced multiplier on the L2 regularizer — the
+    sharded builders pass ``1.0`` on exactly one shard and ``0.0`` elsewhere
+    so the psum-reduced system applies the regularizer exactly once
+    (reference applies it once, model.cpp:689-719).
     """
     dt = lin.e.dtype
     d = cfg.dim_block
@@ -434,7 +464,7 @@ def form_normal_eq(
         b2x, b2y = px5[:, 3], px5[:, 4]
         return _finish_normal_eq(
             A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
-            active, Gx, Gy, cfg, r_pad, dt, dropped,
+            active, Gx, Gy, cfg, r_pad, dt, dropped, reg_scale,
         )
 
     # ---- chunked scan over measurements: A11 / b1 (MXU GEMMs) -------------
@@ -522,17 +552,19 @@ def form_normal_eq(
     A12 = A12.reshape(r_pad, 2 * dp_pad)
     return _finish_normal_eq(
         A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
-        active, Gx, Gy, cfg, r_pad, dt, dropped,
+        active, Gx, Gy, cfg, r_pad, dt, dropped, reg_scale,
     )
 
 
 def _finish_normal_eq(
     A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
-    active_pix, Gx, Gy, cfg, r_pad, dt, dropped,
+    active_pix, Gx, Gy, cfg, r_pad, dt, dropped, reg_scale=None,
 ):
     """Apply the L2 map regularizer on active rows (reference
     ``applyL2Reg``, model.cpp:689-719) and assemble the NormalEq."""
     alpha = jnp.asarray(cfg.alpha, dt)
+    if reg_scale is not None:
+        alpha = alpha * reg_scale.astype(dt)
     act_f = row_active.astype(dt)
     # G values gathered into row space (active pixels only; dropped rows 0)
     gsel = jnp.where(active_pix, Gx.reshape(-1).astype(dt), 0.0)

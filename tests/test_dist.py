@@ -86,72 +86,125 @@ def test_pad_window_masks_tail(problem):
     )
 
 
+NUM_SENSOR_PIX = 32 * 32
+
+
 def test_shardmap_normal_eq_matches_single(problem):
     """The explicit-collective (shard_map) normal-equation build matches the
-    single-device build (up to the documented cross-shard pair masking —
-    here events are padded so no pairs cross shards... they may; compare
-    against a single-shard mesh run of the SAME function instead)."""
+    single-device build EXACTLY: the halo exchange supplies every cross-shard
+    prev event, so no pairs are dropped (reference pairs with no regard to
+    any partitioning, model.cpp:179-246)."""
     scene, cfg, dev = problem
     knots = jnp.asarray(scene.traj.knots)
     Gx = jnp.asarray(scene.gx)
     Gy = jnp.asarray(scene.gy)
 
-    mesh1 = dist.make_mesh(1, 1, jax.devices()[:1])
-    f1 = dist.make_shardmap_normal_eq(mesh1, cfg, scene.traj.num_knots)
-    n1 = f1(*dist.replicate(mesh1, knots, Gx, Gy), dist.shard_window(dev, mesh1))
-
-    # single-shard shard_map == plain single-device build
     import emba_tpu.model as M
 
     lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
     neq = M.form_normal_eq(lin, Gx, Gy, cfg, scene.traj.num_knots)
-    np.testing.assert_allclose(np.asarray(n1.A11), np.asarray(neq.A11), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(n1.b1), np.asarray(neq.b1), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(n1.A12), np.asarray(neq.A12), atol=1e-9)
 
-    # multi-shard: must EXACTLY match a manual 4-way split with the same
-    # cross-shard-pair masking semantics (pairs whose prev event lives in
-    # another shard are dropped — negligible at production event densities,
-    # large in this tiny fixture; the GSPMD path keeps them exactly).
+    for mesh_shape in [(1, 1), (4, 2), (8, 1)]:
+        mesh = dist.make_mesh(*mesh_shape, jax.devices()[: np.prod(mesh_shape)])
+        f = dist.make_shardmap_normal_eq(
+            mesh, cfg, scene.traj.num_knots, NUM_SENSOR_PIX
+        )
+        n8 = f(*dist.replicate(mesh, knots, Gx, Gy), dist.shard_window(dev, mesh))
+        np.testing.assert_allclose(
+            np.asarray(n8.A11), np.asarray(neq.A11), atol=1e-9,
+            err_msg=f"A11 {mesh_shape}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(n8.b1), np.asarray(neq.b1), atol=1e-10,
+            err_msg=f"b1 {mesh_shape}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(n8.A12), np.asarray(neq.A12), atol=1e-9,
+            err_msg=f"A12 {mesh_shape}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(n8.a22_xx), np.asarray(neq.a22_xx), atol=1e-9,
+            err_msg=f"a22_xx {mesh_shape}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(n8.b2_x), np.asarray(neq.b2_x), atol=1e-10,
+            err_msg=f"b2_x {mesh_shape}",
+        )
+        assert int(n8.active_count) == int(neq.active_count)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_solve_window_sharded_matches_fused(problem, mesh_shape):
+    """The COMPLETE sharded LM window (halo pairing + distributed Schur +
+    accept/reject lambda schedule on the mesh) must reproduce the
+    single-device fused solver: same iterate count, same final cost, same
+    knots and maps (f64, tight tolerance)."""
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, cost1, it1, conv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+        max_num_iter=8,
+    )
+
+    mesh = dist.make_mesh(*mesh_shape, jax.devices()[:8])
+    solve = dist.make_solve_window_sharded(
+        mesh, cfg, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=8,
+    )
+    k8, gx8, gy8, cost8, it8, conv8 = solve(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+
+    assert int(it8) == int(it1)
+    assert bool(conv8) == bool(conv1)
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
+
+
+def test_solve_window_sharded_with_compaction(problem):
+    """Active-pixel compaction composes with the sharded LM window: the
+    compact row space is derived from the psum'd global activity map
+    (identical on every shard), so the compact sharded solve equals the
+    non-compact sharded solve (mirror of test_compact_cap_equivalence)."""
     import dataclasses as dc
 
-    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
-    f8 = dist.make_shardmap_normal_eq(mesh, cfg, scene.traj.num_knots)
-    n8 = f8(*dist.replicate(mesh, knots, Gx, Gy), dist.shard_window(dev, mesh))
+    from emba_tpu import solver
 
-    n = dev.pol_signed.shape[0]
-    nl = n // 4
-    # global activity map with the same masking
-    counts = None
-    links = []
-    for k in range(4):
-        sl = slice(k * nl, (k + 1) * nl)
-        lp = np.asarray(dev.prev_idx)[sl] - k * nl
-        ins = (lp >= 0) & (lp < nl)
-        devk = model.DeviceWindow(
-            bearings=dev.bearings[:, sl],
-            pol_signed=dev.pol_signed[sl],
-            prev_idx=jnp.asarray(np.clip(lp, 0, nl - 1)),
-            has_prev=dev.has_prev[sl] & jnp.asarray(ins),
-            batch_ids=dev.batch_ids[sl],
-            batch_s=dev.batch_s,
-            batch_u=dev.batch_u,
-        )
-        lk = model.linearize(knots, Gx, Gy, devk, cfg, True)
-        links.append(lk)
-        counts = lk.num_ev_map if counts is None else counts + lk.num_ev_map
-    expected_A11 = None
-    exp_a22 = None
-    for lk in links:
-        lk = dc.replace(lk, num_ev_map=counts)
-        nq = model.form_normal_eq(lk, Gx, Gy, cfg, scene.traj.num_knots)
-        expected_A11 = nq.A11 if expected_A11 is None else expected_A11 + nq.A11
-        exp_a22 = nq.a22_xx if exp_a22 is None else exp_a22 + nq.a22_xx
-    np.testing.assert_allclose(
-        np.asarray(n8.A11), np.asarray(expected_A11), atol=1e-8
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    cfg_c = dc.replace(cfg, compact_cap=512)  # > active count; pow2 row pad
+
+    k1, gx1, gy1, cost1, it1, conv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+        max_num_iter=6,
     )
-    # a22 was regularized once per shard in the manual sum: remove 3 extras
-    exp_a22 = exp_a22 - 3.0 * cfg.alpha * nq.active.astype(exp_a22.dtype)
-    np.testing.assert_allclose(
-        np.asarray(n8.a22_xx), np.asarray(exp_a22), atol=1e-8
+
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    solve_c = dist.make_solve_window_sharded(
+        mesh, cfg_c, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=6,
     )
+    k8, gx8, gy8, cost8, it8, conv8 = solve_c(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+    assert int(it8) == int(it1)
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
