@@ -73,6 +73,13 @@ class ModelConfig:
     # expected active count — it is bounded by both HW and the measurement
     # count).
     compact_cap: int | None = None
+    # Streamed normal-equation forming: recompute per-event Jacobians in
+    # chunks of this many events inside the accumulation pass instead of
+    # holding (D, N) Jacobians for the whole window. The linearization goes
+    # "light" — only (N,)-sized fields stay resident — which is what lets
+    # windows of 10^7-10^8 events (SURVEY.md §6 problem sizes) fit one chip.
+    # None = classic two-phase linearize-then-form.
+    stream_chunk: int | None = None
 
     @property
     def num_pix(self) -> int:
@@ -242,7 +249,10 @@ def linearize_from_warp(
     )
 
     if not need_deriv:
-        zeros_d = jnp.zeros((cfg.dim_block, pmx.shape[0]), pmx.dtype)
+        # empty (D, 0) placeholders: a "light" linearization carries no
+        # per-event Jacobians (the streamed forming pass recomputes them
+        # chunk-wise — the 10^7-10^8-event memory story)
+        zeros_d = jnp.zeros((cfg.dim_block, 0), pmx.dtype)
         return Linearization(
             e=e,
             inlier=inlier,
@@ -384,17 +394,47 @@ def form_normal_eq(
     (reference applies it once, model.cpp:689-719).
     """
     dt = lin.e.dtype
-    d = cfg.dim_block
-    order = cfg.spline_order
     dim_pose = 3 * num_knots
-    hw = cfg.num_pix
-    n = lin.e.shape[0]
-    dp_pad = _round_up(dim_pose, 128)
+
+    active, r_pad, pix2row, row_active = _row_space(lin.num_ev_map, cfg)
+    # non-compact: rows ARE pixels — skip the (N,)-sized indirection gather
+    row_of_meas = (
+        lin.pm_pix if cfg.compact_cap is None else pix2row[lin.pm_pix]
+    )
+    wA, we, dropped = _meas_weights(
+        lin.e, lin.inlier, lin.pm_pix, active, row_of_meas, r_pad, cfg, dt
+    )
+
+    if cfg.use_pallas and dt == jnp.float32:
+        A12, px5, a11b = _pallas_accumulate(
+            row_of_meas, lin.i_c, lin.i_p, lin.Jc, lin.Jp, lin.dx, lin.dy,
+            lin.e, wA, we, r_pad, dim_pose, cfg.spline_order,
+        )
+        return _finish_from_pallas(
+            A12, px5, a11b, row_active, pix2row, active, Gx, Gy, cfg, r_pad,
+            dt, dropped, reg_scale, dim_pose,
+        )
+
+    carry0 = _xla_carry0(dim_pose, r_pad, dt)
+    carry = _xla_accumulate(
+        carry0, wA, we, lin.i_c, lin.i_p, lin.Jc, lin.Jp, lin.dx, lin.dy,
+        row_of_meas, cfg, dim_pose, r_pad, dt,
+    )
+    A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12 = carry
+    A12 = A12.reshape(r_pad, 2 * _round_up(dim_pose, 128))
+    return _finish_normal_eq(
+        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
+        active, Gx, Gy, cfg, r_pad, dt, dropped, reg_scale,
+    )
+
+
+def _row_space(num_ev_map, cfg: ModelConfig):
+    """Active-pixel mask + the map-domain row space (full pixel domain or
+    compacted actives — reference model.cpp:371-378 made static)."""
     from .kernels.a12_accum import TILE_PX
 
-    active = lin.num_ev_map >= cfg.thres_valid_pixel
-
-    # ---- map-domain row space: full pixel domain or compacted actives -----
+    hw = cfg.num_pix
+    active = num_ev_map >= cfg.thres_valid_pixel
     if cfg.compact_cap is not None:
         r_dom = min(cfg.compact_cap, hw)
         r_pad = _round_up(r_dom, TILE_PX)
@@ -409,79 +449,103 @@ def form_normal_eq(
         r_pad = _round_up(hw, TILE_PX)
         pix2row = jnp.arange(hw, dtype=jnp.int32)
         row_active = jnp.pad(active, (0, r_pad - hw))
-    # non-compact: rows ARE pixels — skip the (N,)-sized indirection gather
-    row_of_meas = (
-        lin.pm_pix if cfg.compact_cap is None else pix2row[lin.pm_pix]
-    )
+    return active, r_pad, pix2row, row_active
 
-    w = lin.inlier & active[lin.pm_pix]
+
+def _meas_weights(e, inlier, pm_pix, active, row_of_meas, r_pad, cfg, dt):
+    """Per-measurement LHS weight wA and RHS residual weight we
+    (IRLS-aware, model.cpp:599-617), with compaction-overflow drop count."""
+    w = inlier & active[pm_pix]
     if cfg.compact_cap is not None:
         # Measurements on active pixels beyond the compaction cap must drop
         # from EVERY block (not just the map blocks their scatter overflows
         # past), or the normal equations turn asymmetric when the adaptive
         # cap is transiently undersized. Count them — no silent truncation.
         in_row = row_of_meas < r_pad
-        dropped = jnp.sum((w & ~in_row).astype(jnp.int32))
+        # sum promotes to int64 under x64; keep the counter int32
+        dropped = jnp.sum(w & ~in_row, dtype=jnp.int32)
         w = w & in_row
     else:
         dropped = jnp.zeros((), jnp.int32)
-    yi = irls_weights(lin.e, cfg)
+    yi = irls_weights(e, cfg)
     wA = jnp.where(w, yi, 0.0).astype(dt)  # weight for LHS terms
-    we = wA * lin.e  # reweighted residual for RHS terms
+    we = wA * e  # reweighted residual for RHS terms
+    return wA, we, dropped
 
-    use_pallas = cfg.use_pallas and dt == jnp.float32
-    if use_pallas:
-        from .kernels.a12_accum import a12_accumulate
 
-        vals5 = jnp.stack(
-            [
-                wA * lin.dx * lin.dx,
-                wA * lin.dx * lin.dy,
-                wA * lin.dy * lin.dy,
-                we * lin.dx,
-                we * lin.dy,
-            ]
-        )
-        sw = jnp.sqrt(wA)
-        A12, px5, a11b = a12_accumulate(
-            row_of_meas,
-            lin.i_c,
-            lin.i_p,
-            lin.Jc,
-            lin.Jp,
-            wA * lin.dx,
-            wA * lin.dy,
-            vals5,
-            sw,
-            sw * lin.e,
-            r_pad,
-            dim_pose,
-            order,
-        )
-        A11 = a11b[:dim_pose, :dim_pose]
-        b1 = a11b[dp_pad, :dim_pose]
-        a22xx, a22xy, a22yy = px5[:, 0], px5[:, 1], px5[:, 2]
-        b2x, b2y = px5[:, 3], px5[:, 4]
-        return _finish_normal_eq(
-            A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
-            active, Gx, Gy, cfg, r_pad, dt, dropped, reg_scale,
-        )
+def _pallas_accumulate(
+    row_of_meas, i_c, i_p, Jc, Jp, dx, dy, e, wA, we, r_pad, dim_pose, order
+):
+    """One Pallas sorted-accumulation pass (kernels/a12_accum.py) over a
+    measurement set; returns the kernel's raw (A12, px5, a11b) outputs so
+    streamed callers can sum them across chunks."""
+    from .kernels.a12_accum import a12_accumulate
 
-    # ---- chunked scan over measurements: A11 / b1 (MXU GEMMs) -------------
+    vals5 = jnp.stack(
+        [wA * dx * dx, wA * dx * dy, wA * dy * dy, we * dx, we * dy]
+    )
+    sw = jnp.sqrt(wA)
+    return a12_accumulate(
+        row_of_meas, i_c, i_p, Jc, Jp, wA * dx, wA * dy, vals5, sw, sw * e,
+        r_pad, dim_pose, order,
+    )
+
+
+def _finish_from_pallas(
+    A12, px5, a11b, row_active, pix2row, active, Gx, Gy, cfg, r_pad, dt,
+    dropped, reg_scale, dim_pose,
+):
+    dp_pad = _round_up(dim_pose, 128)
+    A11 = a11b[:dim_pose, :dim_pose]
+    b1 = a11b[dp_pad, :dim_pose]
+    a22xx, a22xy, a22yy = px5[:, 0], px5[:, 1], px5[:, 2]
+    b2x, b2y = px5[:, 3], px5[:, 4]
+    return _finish_normal_eq(
+        A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
+        active, Gx, Gy, cfg, r_pad, dt, dropped, reg_scale,
+    )
+
+
+def _xla_carry0(dim_pose, r_pad, dt):
+    dp_pad = _round_up(dim_pose, 128)
+    return (
+        jnp.zeros((dim_pose, dim_pose), dt),
+        jnp.zeros((dim_pose,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad,), dt),
+        jnp.zeros((r_pad * 2 * dp_pad,), dt),
+    )
+
+
+def _xla_accumulate(
+    carry, wA, we, i_c, i_p, Jc, Jp, dx, dy, row_of_meas, cfg, dim_pose,
+    r_pad, dt,
+):
+    """XLA-scatter accumulation scan (the CPU / f64 fallback producer):
+    one-hot row expansion + GEMM for A11/b1, 1-D per-pixel scatter-adds for
+    A22/b2/A12, CHUNK measurements at a time. Chainable: pass the previous
+    carry to accumulate across streamed chunks."""
+    d = cfg.dim_block
+    order = cfg.spline_order
+    dp_pad = _round_up(dim_pose, 128)
+    n = wA.shape[0]
     n_chunks = -(-n // CHUNK)
     pad = n_chunks * CHUNK - n
     wA_c = _pad_to_chunks(wA, pad).reshape(n_chunks, CHUNK)
     we_c = _pad_to_chunks(we, pad).reshape(n_chunks, CHUNK)
-    ic_c = _pad_to_chunks(lin.i_c, pad).reshape(n_chunks, CHUNK)
-    ip_c = _pad_to_chunks(lin.i_p, pad).reshape(n_chunks, CHUNK)
+    ic_c = _pad_to_chunks(i_c, pad).reshape(n_chunks, CHUNK)
+    ip_c = _pad_to_chunks(i_p, pad).reshape(n_chunks, CHUNK)
     Jc_c = jnp.moveaxis(
-        jnp.pad(lin.Jc, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK), 1, 0
+        jnp.pad(Jc, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK), 1, 0
     )
     Jp_c = jnp.moveaxis(
-        jnp.pad(lin.Jp, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK), 1, 0
+        jnp.pad(Jp, [(0, 0), (0, pad)]).reshape(d, n_chunks, CHUNK), 1, 0
     )
-    dx_c = _pad_to_chunks(lin.dx, pad).reshape(n_chunks, CHUNK)
-    dy_c = _pad_to_chunks(lin.dy, pad).reshape(n_chunks, CHUNK)
+    dx_c = _pad_to_chunks(dx, pad).reshape(n_chunks, CHUNK)
+    dy_c = _pad_to_chunks(dy, pad).reshape(n_chunks, CHUNK)
     # padded tail rows go out of range -> dropped by scatter mode="drop"
     pix_c = _pad_to_chunks(row_of_meas, pad, value=r_pad).reshape(n_chunks, CHUNK)
 
@@ -534,20 +598,129 @@ def form_normal_eq(
 
         return (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), None
 
-    carry0 = (
-        jnp.zeros((dim_pose, dim_pose), dt),
-        jnp.zeros((dim_pose,), dt),
-        jnp.zeros((r_pad,), dt),
-        jnp.zeros((r_pad,), dt),
-        jnp.zeros((r_pad,), dt),
-        jnp.zeros((r_pad,), dt),
-        jnp.zeros((r_pad,), dt),
-        jnp.zeros((r_pad * 2 * dp_pad,), dt),
-    )
-    (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), _ = jax.lax.scan(
+    carry, _ = jax.lax.scan(
         chunk_body,
-        carry0,
+        carry,
         (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, pix_c),
+    )
+    return carry
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_knots"))
+def form_normal_eq_streamed(
+    lin: Linearization, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    num_knots: int, reg_scale=None,
+) -> NormalEq:
+    """Streamed normal-equation forming for reference-scale windows
+    (10^7-10^8 events, SURVEY.md §6): identical math to
+    :func:`form_normal_eq`, but the per-event Jacobians are RECOMPUTED in
+    chunks of ``cfg.stream_chunk`` events inside the accumulation loop
+    instead of being held (D, N)-resident. ``lin`` is a "light"
+    linearization (``linearize(..., need_deriv=False)``): only its
+    (N,)-sized fields (residual, pairing displacement, pixel index, segment
+    ids) are read — its Jc/Jp are empty.
+
+    Per chunk: gather the chunk's (and its prev events') bearings/batch ids,
+    re-run the warp Jacobian chain from the per-batch pose tables (computed
+    once), rebuild Jc/Jp (reference model.cpp:238-241, 449, 459), and
+    accumulate into the same Pallas / XLA producers. The extra work over the
+    classic path is one extra warp per measurement (the prev re-warp) —
+    cheap next to the accumulation GEMMs — in exchange for O(N) instead of
+    O(D*N) resident bytes.
+    """
+    dt = lin.e.dtype
+    order = cfg.spline_order
+    dim_pose = 3 * num_knots
+    dp_pad = _round_up(dim_pose, 128)
+    sc = cfg.stream_chunk
+    n = lin.e.shape[0]
+    n_chunks = -(-n // sc)
+
+    active, r_pad, pix2row, row_active = _row_space(lin.num_ev_map, cfg)
+
+    # per-batch pose tables once (NB-sized), reused by every chunk
+    R_b, J_b = warp.spline_tables(knots, dev.batch_s, dev.batch_u, order, True)
+    # map value / second-gradient planes once
+    gmaps = jnp.stack([Gx.reshape(-1), Gy.reshape(-1)])
+    gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
+    g2maps = jnp.stack(
+        [gxx_m.reshape(-1), gxy_m.reshape(-1), gyy_m.reshape(-1)]
+    )
+
+    def chunk_pieces(c):
+        idx = c * sc + jnp.arange(sc, dtype=jnp.int32)
+        oob = idx >= n  # clamped tail duplicates are masked out
+        idxc = jnp.minimum(idx, n - 1)
+        e_c = jnp.take(lin.e, idxc)
+        inl_c = jnp.take(lin.inlier, idxc) & ~oob
+        pmp_c = jnp.take(lin.pm_pix, idxc)
+        dx_c = jnp.take(lin.dx, idxc)
+        dy_c = jnp.take(lin.dy, idxc)
+        ic_c = jnp.take(lin.i_c, idxc)
+        ip_c = jnp.take(lin.i_p, idxc)
+        # recompute the chunk Jacobians: curr warp + prev re-warp
+        b_c = jnp.take(dev.bearings, idxc, axis=1)
+        bid_c = jnp.take(dev.batch_ids, idxc)
+        _, _, dpm_c = warp.warp_from_tables(
+            R_b, J_b, dev.batch_s, bid_c, b_c, cfg.pano, order, True
+        )
+        prev_c = jnp.take(dev.prev_idx, idxc)
+        b_p = jnp.take(dev.bearings, prev_c, axis=1)
+        bid_p = jnp.take(dev.batch_ids, prev_c)
+        _, _, dpm_p = warp.warp_from_tables(
+            R_b, J_b, dev.batch_s, bid_p, b_p, cfg.pano, order, True
+        )
+        g_at = jnp.take(gmaps, pmp_c, axis=1)
+        gx_c, gy_c = g_at[0], g_at[1]
+        g2 = jnp.take(g2maps, pmp_c, axis=1)
+        # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
+        tx = gx_c + dx_c * g2[0] + dy_c * g2[1]
+        ty = gy_c + dx_c * g2[1] + dy_c * g2[2]
+        Jc_c = tx[None, :] * dpm_c[0] + ty[None, :] * dpm_c[1]
+        Jp_c = -(gx_c[None, :] * dpm_p[0] + gy_c[None, :] * dpm_p[1])
+        row_c = pmp_c if cfg.compact_cap is None else pix2row[pmp_c]
+        wA_c, we_c, drop_c = _meas_weights(
+            e_c, inl_c, pmp_c, active, row_c, r_pad, cfg, dt
+        )
+        return wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, row_c, e_c, drop_c
+
+    if cfg.use_pallas and dt == jnp.float32:
+
+        def body(c, carry):
+            a12, px5, a11b, dropped = carry
+            (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, row_c, e_c,
+             drop_c) = chunk_pieces(c)
+            a12c, px5c, a11bc = _pallas_accumulate(
+                row_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, e_c, wA_c, we_c,
+                r_pad, dim_pose, order,
+            )
+            return (a12 + a12c, px5 + px5c, a11b + a11bc, dropped + drop_c)
+
+        init = (
+            jnp.zeros((r_pad, 2 * dp_pad), jnp.float32),
+            jnp.zeros((r_pad, 8), jnp.float32),
+            jnp.zeros((dp_pad + 8, dp_pad), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        a12, px5, a11b, dropped = jax.lax.fori_loop(0, n_chunks, body, init)
+        return _finish_from_pallas(
+            a12, px5, a11b, row_active, pix2row, active, Gx, Gy, cfg, r_pad,
+            dt, dropped, reg_scale, dim_pose,
+        )
+
+    def body(c, carry):
+        acc, dropped = carry
+        (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, row_c, _e_c,
+         drop_c) = chunk_pieces(c)
+        acc = _xla_accumulate(
+            acc, wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, row_c, cfg,
+            dim_pose, r_pad, dt,
+        )
+        return (acc, dropped + drop_c)
+
+    init = (_xla_carry0(dim_pose, r_pad, dt), jnp.zeros((), jnp.int32))
+    (A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12), dropped = jax.lax.fori_loop(
+        0, n_chunks, body, init
     )
     A12 = A12.reshape(r_pad, 2 * dp_pad)
     return _finish_normal_eq(

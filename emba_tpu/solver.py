@@ -114,8 +114,10 @@ class LMStats:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _init_costs(knots, Gx, Gy, dev, cfg):
-    """Initial linearization + cost (solver.cpp:71-92), one jitted call."""
-    lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
+    """Linearization + cost (solver.cpp:71-92), one jitted call. In streamed
+    mode the linearization is "light" (no resident Jacobians — the streamed
+    forming pass recomputes them chunk-wise)."""
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, cfg.stream_chunk is None)
     return lin, M.data_cost(lin.e, cfg), M.reg_cost(Gx, Gy, cfg.alpha)
 
 
@@ -187,7 +189,12 @@ def solve_window(
     ):
         if cost_decreased:
             t0 = time.perf_counter()
-            neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
+            if cfg.stream_chunk is not None:
+                neq = M.form_normal_eq_streamed(
+                    lin, knots, Gx, Gy, dev_win, cfg, num_knots
+                )
+            else:
+                neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
             # value-fetch sync: the scalar transfer waits for the whole
             # forming executable (block_until_ready is unreliable here)
             dropped = int(neq.dropped)
@@ -291,10 +298,18 @@ def solve_window_fused(
     """
     dt = Gx.dtype
     num_knots = knots.shape[0]
+    streamed = cfg.stream_chunk is not None
 
-    lin0 = M.linearize(knots, Gx, Gy, dev_win, cfg, True)
+    def _form(lin_, knots_, gx_, gy_):
+        if streamed:
+            return M.form_normal_eq_streamed(
+                lin_, knots_, gx_, gy_, dev_win, cfg, num_knots
+            )
+        return M.form_normal_eq(lin_, gx_, gy_, cfg, num_knots)
+
+    lin0 = M.linearize(knots, Gx, Gy, dev_win, cfg, not streamed)
     cost0 = M.data_cost(lin0.e, cfg) + M.reg_cost(Gx, Gy, cfg.alpha)
-    neq0 = M.form_normal_eq(lin0, Gx, Gy, cfg, num_knots)
+    neq0 = _form(lin0, knots, Gx, Gy)
 
     def lm_iter(state):
         (knots, Gx, Gy, lin, neq, lam, cost_min, count_tol, it, converged) = state
@@ -305,7 +320,9 @@ def solve_window_fused(
             x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
         knots_new = M.update_knots(knots, x1, fix_first)
         gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
-        lin_new = M.linearize(knots_new, gx_new, gy_new, dev_win, cfg, True)
+        lin_new = M.linearize(
+            knots_new, gx_new, gy_new, dev_win, cfg, not streamed
+        )
         cost_new = M.data_cost(lin_new.e, cfg) + M.reg_cost(
             gx_new, gy_new, cfg.alpha
         )
@@ -315,7 +332,7 @@ def solve_window_fused(
         # reject: keep state, same normal eq, lam *= 10 (solver.cpp:299-352)
         neq_new = jax.lax.cond(
             accept,
-            lambda: M.form_normal_eq(lin_new, gx_new, gy_new, cfg, num_knots),
+            lambda: _form(lin_new, knots_new, gx_new, gy_new),
             lambda: neq,
         )
         knots = jnp.where(accept, knots_new, knots)

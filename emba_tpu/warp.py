@@ -26,6 +26,18 @@ from . import spline
 from .camera import EquirectangularCamera
 
 
+def spline_tables(knots, batch_s, batch_u, order: int, need_jacobian: bool = True):
+    """Per-batch pose tables: one spline evaluation per event batch
+    (NB = N/100 evaluations; the expensive exp/log chain happens here once —
+    the streamed forming pass reuses these tables across event chunks).
+
+    Returns (R_b (NB, 3, 3), J_b (NB, order, 3, 3) or None).
+    """
+    if need_jacobian:
+        return spline.evaluate(knots, batch_s, batch_u, order, True)
+    return spline.evaluate(knots, batch_s, batch_u, order, False), None
+
+
 def warp_events(
     knots,
     batch_s,
@@ -54,10 +66,25 @@ def warp_events(
       dpm_dcp: (2, 3*order, N) Jacobian w.r.t. the stacked left-perturbations
         of knots [cp_idx, cp_idx + order) — or None.
     """
-    if need_jacobian:
-        R_b, J_b = spline.evaluate(knots, batch_s, batch_u, order, True)
-    else:
-        R_b = spline.evaluate(knots, batch_s, batch_u, order, False)
+    R_b, J_b = spline_tables(knots, batch_s, batch_u, order, need_jacobian)
+    return warp_from_tables(
+        R_b, J_b, batch_s, batch_ids, bearings, pano, order, need_jacobian
+    )
+
+
+def warp_from_tables(
+    R_b,
+    J_b,
+    batch_s,
+    batch_ids,
+    bearings,
+    pano: EquirectangularCamera,
+    order: int,
+    need_jacobian: bool = True,
+):
+    """Per-event warp given precomputed per-batch pose tables (the second
+    stage of :func:`warp_events`; callable on any event subset — the
+    streamed forming pass calls it per chunk)."""
 
     # Gather rotation components as (9, N) in ONE gather (no (N,3,3)
     # tensors; single fused take instead of 9 separate gathers).

@@ -211,3 +211,41 @@ def test_fused_solver_irls(setup):
     )
     assert float(cost) < 0.8 * cost0
     assert np.isfinite(np.asarray(kf)).all()
+
+
+def test_fused_solver_streamed_matches_classic(setup):
+    """solve_window_fused with streamed forming must walk the same LM
+    iterates as the classic path (identical accept/reject, same result)."""
+    import dataclasses as dc
+
+    rng, sensor, scene, cfg = setup
+    steps = np.random.default_rng(7).normal(size=(scene.traj.num_knots, 3)) * 0.015
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj0.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    knots = jnp.asarray(traj0.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, c1, it1, cv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True, max_num_iter=6
+    )
+    cfg_s = dc.replace(cfg, stream_chunk=2048)
+    k2, gx2, gy2, c2, it2, cv2 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg_s, damping, tolf, fix_first=True,
+        max_num_iter=6,
+    )
+    assert int(it2) == int(it1)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-9)

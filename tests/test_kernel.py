@@ -81,3 +81,51 @@ def test_kernel_matches_reference(pix_mode):
 def test_kernel_tiny_n():
     rng = np.random.default_rng(1)
     check(make_inputs(rng, 3, 1024, 5, "uniform"), 1024, 5)
+
+
+def test_streamed_pallas_matches_streamed_xla():
+    """The streamed forming pass through the Pallas producer (interpret
+    mode here) must equal the streamed XLA-scatter producer (f32)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from emba_tpu import model as M
+    from emba_tpu import pairing, synth
+
+    rng = np.random.default_rng(21)
+    sensor = synth.default_sensor(32, 32, f=30.0)
+    scene = synth.generate(
+        rng, sensor, pano_width=128, pano_height=64, c_th=0.15, t_end=0.4,
+        dt_knots=0.05, num_steps=100, motion_amp=0.2,
+    )
+    cfg = M.ModelConfig(
+        c_th=0.15, pano_width=128, pano_height=64, thres_valid_pixel=2,
+        alpha=1.0, stream_chunk=977,
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width,
+        scene.traj.locate, 100,
+    )
+    dev = M.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float32
+    )
+    knots = jnp.asarray(scene.traj.knots, jnp.float32)
+    Gx = jnp.asarray(scene.gx, jnp.float32)
+    Gy = jnp.asarray(scene.gy, jnp.float32)
+    nk = scene.traj.num_knots
+
+    light = M.linearize(knots, Gx, Gy, dev, cfg, False)
+    neq_x = M.form_normal_eq_streamed(light, knots, Gx, Gy, dev, cfg, nk)
+    cfg_p = dc.replace(cfg, use_pallas=True)
+    neq_p = M.form_normal_eq_streamed(light, knots, Gx, Gy, dev, cfg_p, nk)
+    np.testing.assert_allclose(
+        np.asarray(neq_p.A11), np.asarray(neq_x.A11), rtol=2e-5, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(neq_p.A12), np.asarray(neq_x.A12), rtol=2e-5, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(neq_p.b2_x), np.asarray(neq_x.b2_x), rtol=2e-5, atol=2e-4
+    )
