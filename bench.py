@@ -33,7 +33,10 @@ T_END = float(os.environ.get("BENCH_T_END", "4.8"))
 C_TH = float(os.environ.get("BENCH_C_TH", "0.1"))
 MAX_EVENTS = int(os.environ.get("BENCH_MAX_EVENTS", "2000000"))
 LM_ITERS = int(os.environ.get("BENCH_LM_ITERS", "8"))
-CPU_EVENTS = int(os.environ.get("BENCH_CPU_EVENTS", "100000"))
+# CPU proxy baseline: SAME event count as the TPU measurement (like-for-like
+# shape; iterations are subsampled instead — events/s normalizes per
+# iteration), f64 single-thread.
+CPU_EVENTS = int(os.environ.get("BENCH_CPU_EVENTS", str(MAX_EVENTS)))
 CPU_LM_ITERS = int(os.environ.get("BENCH_CPU_LM_ITERS", "1"))
 
 # Persistent compile cache: the remote TPU compile path is slow (10s-100s
@@ -133,6 +136,10 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         # 4K panoramas (BENCH_PANO_H=2048: 8.4M pixels, ~97% never observed).
         compact_cap=(int(os.environ["BENCH_COMPACT_CAP"])
                      if "BENCH_COMPACT_CAP" in os.environ else None),
+        # Streamed forming (chunk-recomputed Jacobians): required for
+        # 10^7-10^8-event windows; also usable at smaller scales.
+        stream_chunk=(int(os.environ["BENCH_STREAM_CHUNK"])
+                      if "BENCH_STREAM_CHUNK" in os.environ else None),
     )
     win = pairing.build_window(
         data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],
@@ -236,12 +243,16 @@ def main():
     env["OMP_NUM_THREADS"] = "1"
     env["OPENBLAS_NUM_THREADS"] = "1"
     baseline_eps = None
-    baseline_cache = os.path.join(CACHE_DIR, "cpu_baseline.json")
+    # cache keyed by the baseline problem shape (same-shape contract)
+    baseline_cache = os.path.join(
+        CACHE_DIR, f"cpu_baseline_s{SENSOR}_p{PANO_H}_n{CPU_EVENTS}.json"
+    )
     if not os.path.exists(baseline_cache):
-        # committed fallback measurement (docs/cpu_baseline.json) so a cold
-        # start doesn't spend ~10 min re-measuring the CPU proxy
+        # committed fallback measurement (docs/) so a cold start doesn't
+        # spend ~20 min re-measuring the CPU proxy
         committed = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "docs", "cpu_baseline.json"
+            os.path.dirname(os.path.abspath(__file__)), "docs",
+            f"cpu_baseline_s{SENSOR}_p{PANO_H}_n{CPU_EVENTS}.json",
         )
         if os.path.exists(committed):
             baseline_cache = committed
@@ -254,7 +265,7 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-                env=env, capture_output=True, text=True, timeout=900,
+                env=env, capture_output=True, text=True, timeout=3600,
             )
             line = out.stdout.strip().splitlines()[-1]
             baseline = json.loads(line)

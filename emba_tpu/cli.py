@@ -63,6 +63,8 @@ def _cmd_run(args):
         "outlier_dp_norm",
         "thres_valid_pixel",
         "compact_cap",
+        "stream_chunk",
+        "num_devices",
     ):
         v = getattr(args, k, None)
         if v is not None:
@@ -293,6 +295,16 @@ def main(argv=None):
         "--compact-cap", dest="compact_cap", type=int,
         help="active-pixel compaction cap (solve only observed map pixels; "
         "recommended for 4K+ panoramas)",
+    )
+    r.add_argument(
+        "--stream-chunk", dest="stream_chunk", type=int,
+        help="streamed forming chunk size in events (0 disables; default "
+        "auto-enables above ~8M events)",
+    )
+    r.add_argument(
+        "--num-devices", dest="num_devices", type=int,
+        help="solve each window sharded over this many accelerators "
+        "(default: all local TPU devices)",
     )
     r.add_argument("--irls", choices=["huber", "cauchy"])
     r.add_argument("--spline-order", dest="spline_order", type=int, choices=[2, 4])

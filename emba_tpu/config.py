@@ -75,6 +75,15 @@ class BAConfig:
     # sparsity factor. Set >= the expected active-pixel count (overflow
     # pixels are held fixed for the iteration).
     compact_cap: int | None = None
+    # Streamed forming chunk (events): recompute Jacobians chunk-wise during
+    # accumulation instead of holding (D, N) arrays. None = auto (enabled
+    # above ~8M events); 0 disables.
+    stream_chunk: int | None = None
+    # Multi-chip: number of devices for the sharded LM window (None = auto:
+    # all local devices when >1; 1 = force single-device). The window is
+    # solved by dist.make_solve_window_sharded over an (n, 1) mesh with
+    # events sharded across all chips and exact halo pairing.
+    num_devices: int | None = None
 
     def model_config(self) -> ModelConfig:
         if self.use_pallas is None:
@@ -98,6 +107,7 @@ class BAConfig:
             spline_order=self.spline_order,
             use_pallas=use_pallas,
             compact_cap=self.compact_cap,
+            stream_chunk=self.stream_chunk or None,
         )
 
     def lm_config(self) -> LMConfig:

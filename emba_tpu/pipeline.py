@@ -264,6 +264,22 @@ class EmbaPipeline:
         mcfg = cfg.model_config()
         lm = cfg.lm_config()
 
+        # Auto-streaming: above ~8M events the (D, N) Jacobians stop fitting
+        # comfortably; switch to chunk-recomputed forming (exact equivalence,
+        # see form_normal_eq_streamed).
+        if cfg.stream_chunk is None and len(self.t) > 8_000_000:
+            mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
+
+        # Multi-chip: solve each window with the sharded LM program when
+        # more than one accelerator is present (or when explicitly asked).
+        if cfg.num_devices is not None:
+            n_dev = cfg.num_devices
+        else:
+            n_dev = (
+                jax.device_count() if jax.default_backend() == "tpu" else 1
+            )
+        use_sharded = n_dev > 1 and not cfg.use_cg
+
         auto_cap = mcfg.compact_cap is None
         if auto_cap:
             cap = auto_compact_cap(
@@ -345,7 +361,41 @@ class EmbaPipeline:
                 if cfg.fused_lm is not None
                 else not self.record_data
             )
-            if fused:
+            if fused and use_sharded:
+                from . import dist
+
+                # the sharded builder streams neither (forming is shard-
+                # local over 1/n_dev of the events — memory already scales)
+                mcfg_s = dataclasses.replace(mcfg, stream_chunk=None)
+                mesh = dist.make_mesh(n_dev, 1)
+                t0 = time.perf_counter()
+                solve = dist.make_solve_window_sharded(
+                    mesh, mcfg_s, seg.num_knots,
+                    self.camera.width * self.camera.height,
+                    fix_first=first_window,
+                    max_num_iter=cfg.max_num_iter,
+                    num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
+                )
+                knots, gx_j, gy_j, cost_min, n_it, conv = solve(
+                    *dist.replicate(
+                        mesh,
+                        jnp.asarray(seg.knots, self.dtype),
+                        jnp.asarray(self.gx, self.dtype),
+                        jnp.asarray(self.gy, self.dtype),
+                    ),
+                    dist.shard_window_all(dev, mesh),
+                    jnp.asarray(cfg.damping_factor, self.dtype),
+                    jnp.asarray(cfg.tol_fun, self.dtype),
+                )
+                stats = solver.LMStats(num_events=win.num_events)
+                stats.converged = bool(conv)
+                stats.count_objective = int(n_it)
+                stats.count_form = stats.count_solve = int(n_it)
+                stats.time_total_s = time.perf_counter() - t0
+                stats.iterations = [
+                    dict(iter=int(n_it), cost_min=float(cost_min))
+                ]
+            elif fused:
                 t0 = time.perf_counter()
                 knots, gx_j, gy_j, cost_min, n_it, conv = (
                     solver.solve_window_fused(

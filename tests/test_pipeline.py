@@ -468,3 +468,36 @@ def test_evo_dumps_per_iteration(dataset, tmp_path):
     assert rt["total_s"] > 0
     assert all(n > 0 for n in rt["num_active_pixels"][0])
     assert all(d == 0 for d in rt["dropped_measurements"][0])
+
+
+def test_pipeline_sharded_multidevice(dataset):
+    """End-to-end pipeline with num_devices>1: each window solved by the
+    sharded LM program over a virtual multi-device mesh, matching the
+    single-device run."""
+    import jax
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    assert jax.device_count() >= 8
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+
+    def run(n_dev):
+        cfg = C.BAConfig(
+            start_time=0.02, stop_time=0.4, c_th=0.1, alpha=0.5,
+            max_num_iter=4, dt_knots=0.05, dtype="float64", fused_lm=True,
+            num_devices=n_dev,
+        )
+        return EmbaPipeline(
+            cfg, load_camera_yaml(str(dataset / "calib.yaml")),
+            (t, x, y, pol), times, rots, init_gx=gx.copy(), init_gy=gy.copy(),
+        ).run()
+
+    r1 = run(1)
+    r8 = run(8)
+    np.testing.assert_allclose(
+        r8.trajectory.knots, r1.trajectory.knots, atol=1e-9
+    )
+    np.testing.assert_allclose(r8.gx, r1.gx, atol=1e-8)
