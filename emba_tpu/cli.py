@@ -19,6 +19,11 @@ import numpy as np
 
 
 def _cmd_run(args):
+    import jax
+
+    if args.dtype == "float64":
+        # without this, f64 requests silently truncate to f32
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from . import config as C
@@ -65,6 +70,8 @@ def _cmd_run(args):
         "compact_cap",
         "stream_chunk",
         "num_devices",
+        "time_window_size",
+        "sliding_window_stride",
     ):
         v = getattr(args, k, None)
         if v is not None:
@@ -305,6 +312,15 @@ def main(argv=None):
         "--num-devices", dest="num_devices", type=int,
         help="solve each window sharded over this many accelerators "
         "(default: all local TPU devices)",
+    )
+    r.add_argument(
+        "--time-window-size", dest="time_window_size", type=float,
+        help="sliding-window length [s] (reference time_window_size; "
+        "default: the whole BA span, as in the experiments)",
+    )
+    r.add_argument(
+        "--sliding-window-stride", dest="sliding_window_stride", type=float,
+        help="sliding-window stride [s] (reference sliding_window_stride)",
     )
     r.add_argument("--irls", choices=["huber", "cauchy"])
     r.add_argument("--spline-order", dest="spline_order", type=int, choices=[2, 4])

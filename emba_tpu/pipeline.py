@@ -103,6 +103,16 @@ class RunResult:
     result_dir: str | None = None
 
 
+@dataclasses.dataclass
+class _PreparedWindow:
+    """Host-side window preparation product (see ``_prepare_window``)."""
+
+    new_cps: np.ndarray  # fitted control poses for this window (pre-alignment)
+    win: pairing.EventWindow  # paired event window (pairing indices, batches)
+    seg_num_knots: int  # predicted knot count of the window segment
+    prep_s: float  # host time spent preparing
+
+
 class EmbaPipeline:
     """End-to-end EMBA run over an event stream."""
 
@@ -257,6 +267,72 @@ class EmbaPipeline:
         self.gx, self.gy = z["gx"], z["gy"]
         return int(z["window_idx"])
 
+    # -- window preparation (host-side, prefetchable) -----------------------
+
+    def _prepare_window(
+        self,
+        count_window: int,
+        first_window: bool,
+        t_win_beg: float,
+        t_win_end: float,
+        t_pose_beg: float,
+        t_pose_end: float,
+        base_num_knots: int,
+    ) -> _PreparedWindow:
+        """All host-side work for one window that does NOT depend on any
+        earlier window's solution: event-subset extraction (reference
+        ``getEventSubset``, emba.cpp:473-510), front-end pose-subset spline
+        fitting (emba.cpp:412-417), and the event pairing/batching
+        (``pairing.build_window``).
+
+        The pairing only needs the window segment's knot TIME GRID (t_beg,
+        dt, count — ``spline.locate`` never reads knot values), and the
+        fitted ``new_cps`` come from the front-end poses, so this runs on a
+        worker thread overlapped with the PREVIOUS window's device solve —
+        the window-pipelining axis (SURVEY.md §2.3 PP row). Only the
+        alignment of ``new_cps`` to the solved trajectory tail stays on the
+        main thread.
+
+        ``base_num_knots``: trajectory knot count before this window's
+        pushback (exact at submission time — the prefetch is submitted after
+        the current window's pushback).
+        """
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        lo = np.searchsorted(self.t, t_win_beg + 1e-3, side="right")
+        hi = np.searchsorted(self.t, t_win_end - 1e-3, side="right")
+        ev = (self.t[lo:hi], self.x[lo:hi], self.y[lo:hi], self.pol[lo:hi])
+
+        pm = (self.pose_times > t_pose_beg) & (self.pose_times < t_pose_end)
+        new_cps = spline.fit_knots_long(
+            self.pose_times[pm],
+            self.pose_rotations[pm],
+            t_pose_beg,
+            t_pose_end,
+            cfg.dt_knots,
+            cfg.spline_order,
+        )
+        pushed = len(new_cps) if first_window else len(new_cps) - 1
+        idx_cp_beg = count_window * self.cp_stride
+        seg_num_knots = base_num_knots + pushed - idx_cp_beg
+        seg_t_beg = self.t_ba_beg + idx_cp_beg * cfg.dt_knots
+
+        def loc(tq):
+            return spline.locate(
+                tq, seg_t_beg, cfg.dt_knots, seg_num_knots, cfg.spline_order
+            )
+
+        win = pairing.build_window(
+            ev[0], ev[1], ev[2], ev[3], self.camera.width, loc,
+            cfg.event_batch_size,
+        )
+        return _PreparedWindow(
+            new_cps=new_cps,
+            win=win,
+            seg_num_knots=seg_num_knots,
+            prep_s=time.perf_counter() - t0,
+        )
+
     # -- the sliding-window loop (reference Run(), emba.cpp:400-471) --------
 
     def run(self, resume_from: str | None = None) -> RunResult:
@@ -310,22 +386,27 @@ class EmbaPipeline:
                 tq = t_win_end - self.win_stride - 1e-6
                 pose_latest = (tq, np.asarray(self.traj.evaluate(tq))[0])
 
-        while t_win_end < self.t_ba_end + 1e-3:
-            # Event subset (reference getEventSubset, emba.cpp:473-510).
-            lo = np.searchsorted(self.t, t_win_beg + 1e-3, side="right")
-            hi = np.searchsorted(self.t, t_win_end - 1e-3, side="right")
-            ev = (self.t[lo:hi], self.x[lo:hi], self.y[lo:hi], self.pol[lo:hi])
+        # Window pipelining (the PP axis, SURVEY.md §2.3): the host-side
+        # preparation of window k+1 (event subset, pose-subset spline fit,
+        # event pairing — none of which read window k's solution) runs on a
+        # worker thread overlapped with window k's device solve. Single
+        # worker => preparations stay ordered.
+        from concurrent.futures import ThreadPoolExecutor
 
-            # Pose subset + new control poses (emba.cpp:412-417).
-            pm = (self.pose_times > t_pose_beg) & (self.pose_times < t_pose_end)
-            new_cps = spline.fit_knots_long(
-                self.pose_times[pm],
-                self.pose_rotations[pm],
-                t_pose_beg,
-                t_pose_end,
-                cfg.dt_knots,
-                cfg.spline_order,
-            )
+        executor = ThreadPoolExecutor(max_workers=1)
+        self._prep_s, self._prep_wait_s = [], []
+        next_fut = executor.submit(
+            self._prepare_window, count_window, first_window, t_win_beg,
+            t_win_end, t_pose_beg, t_pose_end, self.traj.num_knots,
+        )
+
+        while t_win_end < self.t_ba_end + 1e-3:
+            tw0 = time.perf_counter()
+            prep = next_fut.result()
+            self._prep_wait_s.append(time.perf_counter() - tw0)
+            self._prep_s.append(prep.prep_s)
+
+            new_cps = prep.new_cps
             if not first_window:
                 # align to the tail of the current trajectory (emba.cpp:420-428)
                 R0_inv = new_cps[0].T
@@ -337,12 +418,23 @@ class EmbaPipeline:
 
             idx_cp_beg = count_window * self.cp_stride
             seg = self.traj.segment(idx_cp_beg, self.traj.num_knots)
+            assert seg.num_knots == prep.seg_num_knots, (
+                seg.num_knots, prep.seg_num_knots
+            )
+
+            # Prefetch the NEXT window's preparation before solving this one
+            # (the knot base count is exact now that pushback has happened).
+            nt_win_beg = t_win_beg + self.win_stride
+            nt_win_end = t_win_end + self.win_stride
+            if nt_win_end < self.t_ba_end + 1e-3:
+                next_fut = executor.submit(
+                    self._prepare_window, count_window + 1, False,
+                    nt_win_beg, nt_win_end, t_win_end, nt_win_end,
+                    self.traj.num_knots,
+                )
 
             # Solve this window.
-            win = pairing.build_window(
-                ev[0], ev[1], ev[2], ev[3], self.camera.width, seg.locate,
-                cfg.event_batch_size,
-            )
+            win = prep.win
             dev = model.DeviceWindow.from_window(
                 win, self.bearing_lut, self.camera.width, self.dtype
             )
@@ -478,6 +570,8 @@ class EmbaPipeline:
                     count_window,
                 )
 
+        executor.shutdown(wait=False)
+
         if self.record_data:
             self.traj.write_tum(
                 os.path.join(
@@ -534,6 +628,11 @@ class EmbaPipeline:
             "overflow_active_pixels": [
                 st.overflow_active_pixels for st in window_stats
             ],
+            # Window pipelining: host prep cost per window vs the time the
+            # main loop actually BLOCKED on it (prefetched preps overlap the
+            # previous window's solve, so wait << prep from window 2 on).
+            "window_prep_s": getattr(self, "_prep_s", []),
+            "window_prep_wait_s": getattr(self, "_prep_wait_s", []),
             "events_per_second": window_stats[-1].events_per_second()
             if window_stats
             else {},

@@ -468,6 +468,11 @@ def test_evo_dumps_per_iteration(dataset, tmp_path):
     assert rt["total_s"] > 0
     assert all(n > 0 for n in rt["num_active_pixels"][0])
     assert all(d == 0 for d in rt["dropped_measurements"][0])
+    # window pipelining observability: one prep record per window
+    n_win = len(res.window_stats)
+    assert len(rt["window_prep_s"]) == n_win
+    assert len(rt["window_prep_wait_s"]) == n_win
+    assert all(p > 0 for p in rt["window_prep_s"])
 
 
 def test_pipeline_sharded_multidevice(dataset):
