@@ -115,15 +115,20 @@ def _kernel(
     plocal = pixf - jnp.float32(TILE_PX) * tile.astype(jnp.float32)
     P = (tp_ids_f == plocal[:, None]).astype(jnp.float32)
 
+    # TPU MXU default precision decomposes f32 operands to ONE bf16 pass
+    # (~1e-3 relative — measured 42x noisier than the XLA scatter vs an f64
+    # accumulation of the same linearization). HIGHEST = 3-pass bf16 ~= true
+    # f32; the explicit BF16 mode keeps the cheap single pass.
+    prec = jax.lax.Precision.DEFAULT if BF16 else jax.lax.Precision.HIGHEST
     gemm_dt = jnp.bfloat16 if BF16 else jnp.float32
     Pg = P.astype(gemm_dt)
     a12_ref[:, :dp_pad] += jax.lax.dot_general(
         Pg, ux.astype(gemm_dt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     a12_ref[:, dp_pad:] += jax.lax.dot_general(
         Pg, uy.astype(gemm_dt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     v5 = payload_ref[4 + 2 * d : 4 + 2 * d + 8, :]  # (8, MC) incl. pad rows
     px5_ref[...] += jax.lax.dot_general(
@@ -131,15 +136,17 @@ def _kernel(
         v5.T,
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     # pose normal equations: A11 += us^T us; b1 += (sw e) us
     usg = us.astype(gemm_dt)
     a11_ref[:dp_pad, :] += jax.lax.dot_general(
-        usg, usg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        usg, usg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     )
     a11_ref[dp_pad : dp_pad + 1, :] += jax.lax.dot_general(
         swe[None, :], us, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 

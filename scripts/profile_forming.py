@@ -1,0 +1,143 @@
+"""Profile the normal-equation forming phase component-wise on TPU.
+
+Times (value-fetch synced, median of reps):
+  * linearize (no-deriv and with-deriv)
+  * the sort_key_val prepass alone
+  * the bucket re-layout (searchsorted/scatter/gathers) alone
+  * the full Pallas a12_accumulate
+  * full form_normal_eq (pallas + xla)
+
+Usage: python scripts/profile_forming.py [num_events]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".cache", "jaxcache")
+)
+
+import jax
+import jax.numpy as jnp
+
+import bench as B
+from emba_tpu import model as M
+from emba_tpu import pairing, spline
+
+
+def timed(fn, *args, reps=5):
+    out = fn(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # sync
+    ts = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    data = B.build_dataset()
+    n = min(len(data["t"]), n_events)
+    traj = spline.Trajectory(
+        t_beg=float(data["t_beg"]), dt=float(data["dt_knots"]),
+        knots=np.asarray(data["knots"]), order=2,
+    )
+    rng = np.random.default_rng(1)
+    steps = rng.normal(size=(traj.num_knots, 3)) * 0.01
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(traj, knots=spline._np_exp(walk) @ traj.knots)
+    pano_h, pano_w = data["gx"].shape
+    cfg = M.ModelConfig(
+        c_th=B.C_TH, pano_width=pano_w, pano_height=pano_h,
+        thres_valid_pixel=3, alpha=0.5, outlier_dp_norm=3.0, use_pallas=True,
+    )
+    win = pairing.build_window(
+        data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],
+        int(data["sensor_width"]), traj0.locate, 100,
+    )
+    dev = M.DeviceWindow.from_window(
+        win, data["bearing_lut"], int(data["sensor_width"]), jnp.float32
+    )
+    Gx = jnp.asarray(data["gx"], jnp.float32)
+    Gy = jnp.asarray(data["gy"], jnp.float32)
+    knots = jnp.asarray(traj0.knots, jnp.float32)
+    nk = traj0.num_knots
+
+    res = {"num_events": n}
+
+    lin_nd = jax.jit(lambda k, gx, gy: M.linearize(k, gx, gy, dev, cfg, False))
+    lin_d = jax.jit(lambda k, gx, gy: M.linearize(k, gx, gy, dev, cfg, True))
+    res["linearize_noderiv_s"] = timed(lin_nd, knots, Gx, Gy)
+    res["linearize_deriv_s"] = timed(lin_d, knots, Gx, Gy)
+    lin = lin_d(knots, Gx, Gy)
+
+    # sort prepass alone
+    @jax.jit
+    def sort_only(pm_pix):
+        k, v = jax.lax.sort_key_val(
+            pm_pix, jnp.arange(pm_pix.shape[0], dtype=jnp.int32)
+        )
+        return k[::97].sum() + v[::97].sum()  # consume both
+
+    res["sort_key_val_s"] = timed(sort_only, lin.pm_pix)
+
+    # full kernel call (sort + bucket + pallas)
+    from emba_tpu.kernels import a12_accum as K
+
+    @jax.jit
+    def kern_full(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e):
+        w = jnp.ones_like(e)
+        vals5 = jnp.stack([w * dx * dx, w * dx * dy, w * dy * dy,
+                           e * dx, e * dy])
+        sw = jnp.sqrt(w)
+        a12, px5, a11b = K.a12_accumulate(
+            pm_pix, i_c, i_p, Jc, Jp, w * dx, w * dy, vals5, sw, sw * e,
+            cfg.num_pix, 3 * nk, cfg.spline_order,
+        )
+        return a12[::513, ::129].sum() + px5.sum() + a11b.sum()
+
+    try:
+        res["a12_accumulate_s"] = timed(
+            kern_full, lin.pm_pix, lin.i_c, lin.i_p, lin.Jc, lin.Jp,
+            lin.dx, lin.dy, lin.e,
+        )
+    except Exception as ex:  # noqa: BLE001
+        res["a12_accumulate_error"] = repr(ex)[:300]
+
+    # full forming, both producers
+    @jax.jit
+    def form_p(lin, Gx, Gy):
+        neq = M.form_normal_eq(lin, Gx, Gy, cfg, nk)
+        return neq.A11[0, 0] + neq.dropped
+
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+
+    @jax.jit
+    def form_x(lin, Gx, Gy):
+        neq = M.form_normal_eq(lin, Gx, Gy, cfg_x, nk)
+        return neq.A11[0, 0] + neq.dropped
+
+    res["form_pallas_s"] = timed(form_p, lin, Gx, Gy)
+    res["form_xla_s"] = timed(form_x, lin, Gx, Gy)
+    res["form_pallas_events_per_s"] = n / res["form_pallas_s"]
+
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()
