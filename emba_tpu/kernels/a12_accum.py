@@ -190,6 +190,54 @@ def a12_accumulate(
     d = 3 * order
     dp_pad = _round_up(dim_pose, 128)
     hw_pad = _round_up(num_pix, TILE_PX)
+    n_tiles = hw_pad // TILE_PX
+    np_rows = 4 + 2 * d + 8
+    tile_of_chunk, pixf_b, payload_b = _bucket_prepass(
+        pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, num_pix
+    )
+    n_chunks = pixf_b.shape[0] // MC
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, MC), lambda i, *_: (0, i)),
+            pl.BlockSpec((np_rows, MC), lambda i, *_: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_PX, 2 * dp_pad), lambda i, t: (t[i], 0)),
+            pl.BlockSpec((TILE_PX, 8), lambda i, t: (t[i], 0)),
+            pl.BlockSpec((dp_pad + 8, dp_pad), lambda i, t: (0, 0)),
+        ],
+    )
+    kernel = functools.partial(_kernel, dp_pad=dp_pad, order=order)
+    a12, px5, a11b = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hw_pad, 2 * dp_pad), jnp.float32),
+            jax.ShapeDtypeStruct((hw_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((dp_pad + 8, dp_pad), jnp.float32),
+        ],
+        # run interpreted off-TPU so the same code path is testable on CPU
+        interpret=jax.default_backend() != "tpu",
+    )(tile_of_chunk, pixf_b[None, :], payload_b)
+    return a12, px5, a11b
+
+
+def _round_up_arr(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("num_pix",))
+def _bucket_prepass(
+    pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, num_pix: int
+):
+    """Sort measurements by pano pixel and re-lay them out into per-tile
+    buckets padded to the chunk size MC (module doc, step 1). Returns
+    (tile_of_chunk, pixf_b, payload_b) ready for the kernel grid."""
+    n = pm_pix.shape[0]
+    hw_pad = _round_up(num_pix, TILE_PX)
     # Row indices ride through the bucket prepass and kernel as float32,
     # exact only below 2^24 (a >16.7M-row domain would silently mis-bucket).
     # Larger panoramas must use active-pixel compaction (compact_cap).
@@ -199,7 +247,7 @@ def a12_accumulate(
             "float32 indexing; enable ModelConfig.compact_cap"
         )
     n_tiles = hw_pad // TILE_PX
-    np_rows = 4 + 2 * d + 8
+    np_rows = 4 + 2 * (Jc.shape[0]) + 8
 
     # ---- sort by pixel ----------------------------------------------------
     # sort_key_val returns the sorted keys alongside the permutation in one
@@ -261,34 +309,4 @@ def a12_accumulate(
         jnp.searchsorted(padded_off, chunk_slot, side="right").astype(jnp.int32) - 1
     )
     tile_of_chunk = jnp.clip(tile_of_chunk, 0, n_tiles - 1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, MC), lambda i, *_: (0, i)),
-            pl.BlockSpec((np_rows, MC), lambda i, *_: (0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_PX, 2 * dp_pad), lambda i, t: (t[i], 0)),
-            pl.BlockSpec((TILE_PX, 8), lambda i, t: (t[i], 0)),
-            pl.BlockSpec((dp_pad + 8, dp_pad), lambda i, t: (0, 0)),
-        ],
-    )
-    kernel = functools.partial(_kernel, dp_pad=dp_pad, order=order)
-    a12, px5, a11b = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((hw_pad, 2 * dp_pad), jnp.float32),
-            jax.ShapeDtypeStruct((hw_pad, 8), jnp.float32),
-            jax.ShapeDtypeStruct((dp_pad + 8, dp_pad), jnp.float32),
-        ],
-        # run interpreted off-TPU so the same code path is testable on CPU
-        interpret=jax.default_backend() != "tpu",
-    )(tile_of_chunk, pixf_b[None, :], payload_b)
-    return a12, px5, a11b
-
-
-def _round_up_arr(x, m):
-    return -(-x // m) * m
+    return tile_of_chunk, pixf_b, payload_b

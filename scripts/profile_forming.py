@@ -96,6 +96,26 @@ def main():
 
     res["sort_key_val_s"] = timed(sort_only, lin.pm_pix)
 
+    # bucket prepass alone (sort + searchsorted + scatter + gathers)
+    from emba_tpu.kernels import a12_accum as K0
+
+    @jax.jit
+    def prepass_only(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e):
+        w = jnp.ones_like(e)
+        vals5 = jnp.stack([w * dx * dx, w * dx * dy, w * dy * dy,
+                           e * dx, e * dy])
+        sw = jnp.sqrt(w)
+        t, pixf_b, payload_b = K0._bucket_prepass(
+            pm_pix, i_c, i_p, Jc, Jp, w * dx, w * dy, vals5, sw, sw * e,
+            cfg.num_pix,
+        )
+        return t[::7].sum() + pixf_b[::997].sum() + payload_b[:, ::997].sum()
+
+    res["bucket_prepass_s"] = timed(
+        prepass_only, lin.pm_pix, lin.i_c, lin.i_p, lin.Jc, lin.Jp,
+        lin.dx, lin.dy, lin.e,
+    )
+
     # full kernel call (sort + bucket + pallas)
     from emba_tpu.kernels import a12_accum as K
 
