@@ -1,5 +1,6 @@
 """Pallas TPU kernel: pixel-sorted accumulation of the pose-map coupling
-block A12 (and the per-pixel A22 / b2 sums) for the LEGM normal equations.
+block A12 (and the per-pixel A22 / b2 sums + the pose block A11 / b1) for
+the LEGM normal equations.
 
 Motivation: the XLA scatter-add of 24 scalars per measurement into the
 (2HW x 3K) coupling block runs at ~2e7 scattered elements/s on TPU — the
@@ -13,11 +14,24 @@ dense MXU GEMMs:
    dynamically through a prefetched ``tile_of_chunk`` array (the
    PrefetchScalarGridSpec revisiting pattern — consecutive chunks of the
    same tile keep the output block resident in VMEM),
-3. per chunk, the (curr + prev) half-Jacobians weighted by (w dx, w dy) are
-   expanded into dense (MC, Dp) strips via one one-hot compare + static
-   lane-rolls (VPU), the in-tile pixel one-hot P (MC, TILE_PX) is built, and
-   ``out += P^T U`` runs on the MXU. The same P also accumulates the five
-   per-pixel sums (a22_xx, a22_xy, a22_yy, b2_x, b2_y).
+3. per chunk, ONE one-hot strip ``us`` of the sqrt(w)-scaled half-Jacobians
+   is expanded via a one-hot compare + static lane-rolls (VPU); the A12
+   operands are per-ROW rescalings ``ux = us * swdx``, ``uy = us * swdy``
+   (w dx J == (sqrt(w) J)(sqrt(w) dx)); the in-tile pixel one-hot P
+   (MC, TILE_PX) is built from the packed payload, and ``out += P^T U``
+   runs on the MXU. The same P accumulates the five per-pixel sums
+   (a22_xx, a22_xy, a22_yy, b2_x, b2_y), all derived in-kernel from
+   (swdx, swdy, swe).
+
+Prepass layout (the HBM-bandwidth hot spot): the per-measurement payload is
+exactly ``1 + 2D + 3`` float32 rows — one bitcast-packed int32 row carrying
+(i_c, i_p, in-tile pixel), the 2D sqrt(w)-scaled Jacobian rows, and
+(swdx, swdy, swe). For order 2 that is 16 rows = two (8,128) HBM tiles per
+gathered element (the previous 24-row layout paid three). The bucketed
+destination map is computed arithmetically from per-chunk table lookups
+(every padded chunk belongs to exactly one tile), replacing the inverse-
+permutation scatter of the earlier design. Pixel indices stay int32
+throughout, so there is NO float32 2^24 limit on the row domain.
 
 Layout: A12 is produced as (HW_pad, 2*Dp) with columns [0:Dp) = the Gx
 plane, [Dp:2Dp) = the Gy plane (Dp = 3K rounded up to 128) — directly the
@@ -43,6 +57,12 @@ MC = int(os.environ.get("EMBA_MC", "256"))  # measurements per grid step
 # accumulation is always f32.
 BF16 = os.environ.get("EMBA_KERNEL_BF16") == "1"
 
+# Packed index row: i_c (11 bits) | i_p (11 bits) | in-tile pixel (9 bits).
+_IC_SHIFT, _IP_SHIFT = 20, 9
+_IDX_MASK, _PX_MASK = 0x7FF, 0x1FF
+MAX_KNOTS = 2048  # i_c / i_p must fit 11 bits
+assert TILE_PX <= 512, "packed in-tile pixel index is 9 bits (TILE_PX <= 512)"
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -51,9 +71,8 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     # scalar prefetch
     tile_of_chunk_ref,
-    # blocked inputs (VMEM)
-    pixf_ref,  # (1, MC) f32 pixel index (-1 for padding slots)
-    payload_ref,  # (NP_ROWS, MC) f32
+    # blocked input (VMEM)
+    payload_ref,  # (NP_ROWS, MC) f32; row 0 is the bitcast-packed indices
     # outputs (blocked VMEM, dynamically tile-indexed)
     a12_ref,  # (TILE_PX, 2*dp_pad)
     px5_ref,  # (TILE_PX, 8)
@@ -86,68 +105,98 @@ def _kernel(
         jnp.float32
     )
 
-    pixf = pixf_ref[0, :]  # (MC,)
-    colc = payload_ref[0, :] * 3.0  # 3*i_c
-    colp = payload_ref[1, :] * 3.0
-    wdx = payload_ref[2 + 2 * d, :]
-    wdy = payload_ref[3 + 2 * d, :]
-    sw = payload_ref[9 + 2 * d, :]  # sqrt(w)
-    swe = payload_ref[10 + 2 * d, :]  # sqrt(w) * e
+    # Unpack the index row (padding slots carry all-zero payload: their
+    # weights are zero, so every contribution vanishes regardless of the
+    # decoded indices).
+    packed = jax.lax.bitcast_convert_type(payload_ref[0, :], jnp.int32)
+    colc = (3 * ((packed >> _IC_SHIFT) & _IDX_MASK)).astype(jnp.float32)
+    colp = (3 * ((packed >> _IP_SHIFT) & _IDX_MASK)).astype(jnp.float32)
+    plocal = (packed & _PX_MASK).astype(jnp.float32)
+    swdx = payload_ref[1 + 2 * d, :]
+    swdy = payload_ref[2 + 2 * d, :]
+    swe = payload_ref[3 + 2 * d, :]
 
-    # U strips (MC, dp_pad): one one-hot compare per half at the block start
-    # column, then static lane-rolls place the D consecutive components.
-    # us = sqrt(w) * measurement rows (for A11 = us^T us, b1 = (sw e)^T us).
+    # ONE strip us = sqrt(w) * measurement row (MC, dp_pad): one one-hot
+    # compare per half at the block start column, then static lane-rolls
+    # place the D consecutive components. The A12 operands are per-row
+    # rescalings of the same strip.
     base_c = (col_ids_f == colc[:, None]).astype(jnp.float32)
     base_p = (col_ids_f == colp[:, None]).astype(jnp.float32)
-    ux = jnp.zeros((MC, dp_pad), jnp.float32)
-    uy = jnp.zeros((MC, dp_pad), jnp.float32)
     us = jnp.zeros((MC, dp_pad), jnp.float32)
     for j in range(d):
         oc = base_c if j == 0 else pltpu.roll(base_c, j, 1)
         op = base_p if j == 0 else pltpu.roll(base_p, j, 1)
-        jc_j = payload_ref[2 + j, :]
-        jp_j = payload_ref[2 + d + j, :]
-        ux = ux + oc * (jc_j * wdx)[:, None] + op * (jp_j * wdx)[:, None]
-        uy = uy + oc * (jc_j * wdy)[:, None] + op * (jp_j * wdy)[:, None]
-        us = us + oc * (jc_j * sw)[:, None] + op * (jp_j * sw)[:, None]
+        us = us + oc * payload_ref[1 + j, :][:, None] + op * payload_ref[
+            1 + d + j, :
+        ][:, None]
+    ux = us * swdx[:, None]
+    uy = us * swdy[:, None]
 
-    # In-tile pixel one-hot (padding slots carry pixf = -1 -> all-zero row).
-    plocal = pixf - jnp.float32(TILE_PX) * tile.astype(jnp.float32)
+    # In-tile pixel one-hot.
     P = (tp_ids_f == plocal[:, None]).astype(jnp.float32)
 
     # TPU MXU default precision decomposes f32 operands to ONE bf16 pass
     # (~1e-3 relative — measured 42x noisier than the XLA scatter vs an f64
-    # accumulation of the same linearization). HIGHEST = 3-pass bf16 ~= true
-    # f32; the explicit BF16 mode keeps the cheap single pass.
-    prec = jax.lax.Precision.DEFAULT if BF16 else jax.lax.Precision.HIGHEST
-    gemm_dt = jnp.bfloat16 if BF16 else jnp.float32
-    Pg = P.astype(gemm_dt)
-    a12_ref[:, :dp_pad] += jax.lax.dot_general(
-        Pg, ux.astype(gemm_dt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    a12_ref[:, dp_pad:] += jax.lax.dot_general(
-        Pg, uy.astype(gemm_dt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    v5 = payload_ref[4 + 2 * d : 4 + 2 * d + 8, :]  # (8, MC) incl. pad rows
-    px5_ref[...] += jax.lax.dot_general(
-        P,
-        v5.T,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
-    # pose normal equations: A11 += us^T us; b1 += (sw e) us
-    usg = us.astype(gemm_dt)
-    a11_ref[:dp_pad, :] += jax.lax.dot_general(
-        usg, usg, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    a11_ref[dp_pad : dp_pad + 1, :] += jax.lax.dot_general(
-        swe[None, :], us, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
+    # accumulation of the same linearization). Mosaic does not support
+    # per-operand precision, so multi-pass bf16 is built MANUALLY: the
+    # one-hot P is EXACT in bf16, so P @ U = P @ hi(U) + P @ lo(U) recovers
+    # ~16 mantissa bits of the value operand in TWO single-pass GEMMs (vs
+    # HIGHEST x HIGHEST on both operands); the A11 Gram product splits both
+    # sides into a 3-pass hi/lo expansion (the lo*lo term is below f32
+    # round-off). The explicit BF16 mode keeps the cheap single pass.
+
+    def _split(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def _dot_t(a, b):  # a^T @ b with f32 accumulation (contract dim 0)
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    Pg = P.astype(jnp.bfloat16)
+    # Per-pixel sums, derived in-kernel: [w dx dx, w dx dy, w dy dy,
+    # w e dx, w e dy] = [swdx^2, swdx swdy, swdy^2, swe swdx, swe swdy].
+    zero = jnp.zeros_like(swdx)
+    v5t = jnp.stack(
+        [swdx * swdx, swdx * swdy, swdy * swdy, swe * swdx, swe * swdy,
+         zero, zero, zero]
+    ).T  # (MC, 8)
+    if BF16:
+        a12_ref[:, :dp_pad] += _dot_t(Pg, ux.astype(jnp.bfloat16))
+        a12_ref[:, dp_pad:] += _dot_t(Pg, uy.astype(jnp.bfloat16))
+        px5_ref[...] += _dot_t(Pg, v5t.astype(jnp.bfloat16))
+        usg = us.astype(jnp.bfloat16)
+        a11_ref[:dp_pad, :] += _dot_t(usg, usg)
+        a11_ref[dp_pad : dp_pad + 1, :] += jax.lax.dot_general(
+            swe[None, :].astype(jnp.bfloat16), usg,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    else:
+        ux_hi, ux_lo = _split(ux)
+        uy_hi, uy_lo = _split(uy)
+        v5_hi, v5_lo = _split(v5t)
+        a12_ref[:, :dp_pad] += _dot_t(Pg, ux_hi) + _dot_t(Pg, ux_lo)
+        a12_ref[:, dp_pad:] += _dot_t(Pg, uy_hi) + _dot_t(Pg, uy_lo)
+        px5_ref[...] += _dot_t(Pg, v5_hi) + _dot_t(Pg, v5_lo)
+        # pose normal equations: A11 += us^T us; b1 += (sw e) us
+        us_hi, us_lo = _split(us)
+        a11_ref[:dp_pad, :] += (
+            _dot_t(us_hi, us_hi) + _dot_t(us_hi, us_lo) + _dot_t(us_lo, us_hi)
+        )
+        swe_hi, swe_lo = _split(swe[None, :])
+        a11_ref[dp_pad : dp_pad + 1, :] += jax.lax.dot_general(
+            swe_hi, us_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            swe_hi, us_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            swe_lo, us_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("num_pix", "dim_pose", "order"))
@@ -157,11 +206,10 @@ def a12_accumulate(
     i_p,
     Jc,
     Jp,
-    wdx,
-    wdy,
-    vals5,
-    sw,
-    swe,
+    dx,
+    dy,
+    e,
+    wA,
     num_pix: int,
     dim_pose: int,
     order: int,
@@ -170,14 +218,14 @@ def a12_accumulate(
     equations (see module doc).
 
     Args:
-      pm_pix: (N,) int32 pano pixel per measurement (any order).
-      i_c, i_p: (N,) int32 segment indices.
-      Jc, Jp: (D, N) half-Jacobians.
-      wdx, wdy: (N,) weighted map Jacobians (w*dx, w*dy).
-      vals5: (5, N) per-pixel accumulants [w dx dx, w dx dy, w dy dy,
-        we dx, we dy].
-      sw: (N,) sqrt of the measurement weight.
-      swe: (N,) sqrt(w) * residual.
+      pm_pix: (N,) int32 pano pixel (or compact row) per measurement (any
+        order; values == num_pix-rounded-up act as a drop row and must carry
+        zero weight).
+      i_c, i_p: (N,) int32 segment indices (< MAX_KNOTS).
+      Jc, Jp: (D, N) half-Jacobians (unscaled).
+      dx, dy: (N,) map-gradient Jacobians.
+      e: (N,) residuals.
+      wA: (N,) measurement weights (>= 0; 0 disables a measurement).
       num_pix: HW (static); dim_pose: 3K (static); order: spline order.
 
     Returns:
@@ -186,22 +234,25 @@ def a12_accumulate(
       px5: (HW_pad, 8): cols 0..4 = a22_xx, a22_xy, a22_yy, b2_x, b2_y.
       a11b: (dp_pad + 8, dp_pad): rows [0:dp_pad) = A11, row dp_pad = b1.
     """
-    n = pm_pix.shape[0]
+    if dim_pose > 3 * MAX_KNOTS:
+        raise ValueError(
+            f"a12_accumulate: dim_pose {dim_pose} > {3 * MAX_KNOTS} — the "
+            "packed index row carries 11-bit knot indices (use the chunked "
+            "long fit for longer trajectories)"
+        )
     d = 3 * order
     dp_pad = _round_up(dim_pose, 128)
     hw_pad = _round_up(num_pix, TILE_PX)
-    n_tiles = hw_pad // TILE_PX
-    np_rows = 4 + 2 * d + 8
-    tile_of_chunk, pixf_b, payload_b = _bucket_prepass(
-        pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, num_pix
+    np_rows = 1 + 2 * d + 3
+    tile_of_chunk, payload_b = _bucket_prepass(
+        pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, wA, num_pix
     )
-    n_chunks = pixf_b.shape[0] // MC
+    n_chunks = payload_b.shape[1] // MC
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, MC), lambda i, *_: (0, i)),
             pl.BlockSpec((np_rows, MC), lambda i, *_: (0, i)),
         ],
         out_specs=[
@@ -221,7 +272,7 @@ def a12_accumulate(
         ],
         # run interpreted off-TPU so the same code path is testable on CPU
         interpret=jax.default_backend() != "tpu",
-    )(tile_of_chunk, pixf_b[None, :], payload_b)
+    )(tile_of_chunk, payload_b)
     return a12, px5, a11b
 
 
@@ -230,24 +281,42 @@ def _round_up_arr(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("num_pix",))
-def _bucket_prepass(
-    pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, num_pix: int
-):
+def _bucket_prepass(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, wA, num_pix: int):
     """Sort measurements by pano pixel and re-lay them out into per-tile
-    buckets padded to the chunk size MC (module doc, step 1). Returns
-    (tile_of_chunk, pixf_b, payload_b) ready for the kernel grid."""
+    buckets padded to the chunk size MC (module doc). Returns
+    (tile_of_chunk, payload_b) ready for the kernel grid.
+
+    The padded-slot -> original-measurement map is ARITHMETIC: every padded
+    chunk belongs to exactly one tile, so a slot's sorted position is
+    ``tile_start[tile] + (slot - padded_off[tile])`` — per-chunk lookups
+    into (n_tiles,)-sized tables + an iota, no scatter. One composed gather
+    then pulls the (np_rows, N) payload straight from its unsorted layout.
+    """
     n = pm_pix.shape[0]
+    d = Jc.shape[0]
     hw_pad = _round_up(num_pix, TILE_PX)
-    # Row indices ride through the bucket prepass and kernel as float32,
-    # exact only below 2^24 (a >16.7M-row domain would silently mis-bucket).
-    # Larger panoramas must use active-pixel compaction (compact_cap).
-    if hw_pad >= 1 << 24:
-        raise ValueError(
-            f"a12_accumulate: row domain {hw_pad} >= 2^24 exceeds exact "
-            "float32 indexing; enable ModelConfig.compact_cap"
-        )
     n_tiles = hw_pad // TILE_PX
-    np_rows = 4 + 2 * (Jc.shape[0]) + 8
+    np_rows = 1 + 2 * d + 3
+
+    # ---- payload build (unsorted, elementwise) ----------------------------
+    sw = jnp.sqrt(wA.astype(jnp.float32))
+    plocal = (pm_pix & (TILE_PX - 1)) if (TILE_PX & (TILE_PX - 1)) == 0 else (
+        pm_pix % TILE_PX
+    )
+    packed = (
+        (i_c << _IC_SHIFT) | (i_p << _IP_SHIFT) | plocal.astype(jnp.int32)
+    )
+    payload = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(packed, jnp.float32)[None, :],
+            Jc.astype(jnp.float32) * sw[None, :],
+            Jp.astype(jnp.float32) * sw[None, :],
+            (sw * dx.astype(jnp.float32))[None, :],
+            (sw * dy.astype(jnp.float32))[None, :],
+            (sw * e.astype(jnp.float32))[None, :],
+        ],
+        axis=0,
+    )  # (np_rows, N)
 
     # ---- sort by pixel ----------------------------------------------------
     # sort_key_val returns the sorted keys alongside the permutation in one
@@ -255,23 +324,8 @@ def _bucket_prepass(
     pix_s, sort_idx = jax.lax.sort_key_val(
         pm_pix, jnp.arange(pm_pix.shape[0], dtype=jnp.int32)
     )
-    payload = jnp.concatenate(
-        [
-            i_c[None, :].astype(jnp.float32),
-            i_p[None, :].astype(jnp.float32),
-            Jc.astype(jnp.float32),
-            Jp.astype(jnp.float32),
-            wdx[None, :].astype(jnp.float32),
-            wdy[None, :].astype(jnp.float32),
-            vals5.astype(jnp.float32),
-            sw[None, :].astype(jnp.float32),
-            swe[None, :].astype(jnp.float32),
-            jnp.zeros((1, n), jnp.float32),
-        ],
-        axis=0,
-    )  # (np_rows, N)
 
-    # ---- re-layout into per-tile buckets padded to MC ---------------------
+    # ---- per-tile bucket geometry (all (n_tiles,)-sized, cheap) -----------
     tile_edges = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE_PX
     tile_start = jnp.searchsorted(pix_s, tile_edges, side="left").astype(jnp.int32)
     counts = tile_start[1:] - tile_start[:-1]  # (n_tiles,)
@@ -280,33 +334,31 @@ def _bucket_prepass(
     padded_off = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
     )
-    n_padded = n + n_tiles * MC  # static upper bound on the padded length
-
-    tile_of_m = jnp.clip(pix_s // TILE_PX, 0, n_tiles - 1)
-    rank = jnp.arange(n, dtype=jnp.int32) - tile_start[tile_of_m]
-    dest = padded_off[tile_of_m] + rank  # (N,) destination slot (unique)
-
-    # Inverse permutation (one int scatter), then ONE fused gather: compose
-    # padded-slot -> sorted-pos -> original-index so the big payload is
-    # gathered once instead of twice.
-    src = jnp.full((n_padded,), n, jnp.int32).at[dest].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-    sort_ext = jnp.concatenate([sort_idx.astype(jnp.int32), jnp.full((1,), n, jnp.int32)])
-    src_orig = jnp.take(sort_ext, src)  # padded slot -> original index (n = fill)
-    pix_ext = jnp.concatenate([pix_s.astype(jnp.float32), jnp.full((1,), -1.0)])
-    payload_ext = jnp.concatenate(
-        [payload, jnp.zeros((np_rows, 1), jnp.float32)], axis=1
-    )
-    pixf_b = jnp.take(pix_ext, src)
-    payload_b = jnp.take(payload_ext, src_orig, axis=1)
-
-    # ---- per-chunk output tile --------------------------------------------
+    # static upper bound on the padded length, itself a multiple of MC
+    n_padded = _round_up(n, MC) + n_tiles * MC
     n_chunks = n_padded // MC
     chunk_slot = jnp.arange(n_chunks, dtype=jnp.int32) * MC
-    # tile of chunk c = index of the tile whose padded range contains slot
     tile_of_chunk = (
         jnp.searchsorted(padded_off, chunk_slot, side="right").astype(jnp.int32) - 1
     )
     tile_of_chunk = jnp.clip(tile_of_chunk, 0, n_tiles - 1)
-    return tile_of_chunk, pixf_b, payload_b
+
+    # ---- arithmetic padded-slot -> sorted-position map --------------------
+    base_sorted = tile_start[tile_of_chunk]  # (n_chunks,)
+    base_padded = padded_off[tile_of_chunk]
+    limit = tile_start[tile_of_chunk + 1]
+    slots = jnp.arange(n_padded, dtype=jnp.int32).reshape(n_chunks, MC)
+    src2 = base_sorted[:, None] + (slots - base_padded[:, None])
+    src = jnp.where(src2 < limit[:, None], src2, n).reshape(-1)
+
+    # Compose padded-slot -> sorted-pos -> original-index so the big payload
+    # is gathered ONCE from its unsorted layout (slot n = zero fill).
+    sort_ext = jnp.concatenate(
+        [sort_idx.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+    )
+    src_orig = jnp.take(sort_ext, src)
+    payload_ext = jnp.concatenate(
+        [payload, jnp.zeros((np_rows, 1), jnp.float32)], axis=1
+    )
+    payload_b = jnp.take(payload_ext, src_orig, axis=1)
+    return tile_of_chunk, payload_b

@@ -478,16 +478,15 @@ def _pallas_accumulate(
 ):
     """One Pallas sorted-accumulation pass (kernels/a12_accum.py) over a
     measurement set; returns the kernel's raw (A12, px5, a11b) outputs so
-    streamed callers can sum them across chunks."""
+    streamed callers can sum them across chunks. All derived per-measurement
+    quantities (sqrt(w)-scaled Jacobians, the five per-pixel accumulants)
+    are built inside the kernel's prepass — only the raw linearization
+    enters (``we`` is unused; the kernel derives it from e and wA)."""
+    del we
     from .kernels.a12_accum import a12_accumulate
 
-    vals5 = jnp.stack(
-        [wA * dx * dx, wA * dx * dy, wA * dy * dy, we * dx, we * dy]
-    )
-    sw = jnp.sqrt(wA)
     return a12_accumulate(
-        row_of_meas, i_c, i_p, Jc, Jp, wA * dx, wA * dy, vals5, sw, sw * e,
-        r_pad, dim_pose, order,
+        row_of_meas, i_c, i_p, Jc, Jp, dx, dy, e, wA, r_pad, dim_pose, order,
     )
 
 

@@ -96,20 +96,16 @@ def main():
 
     res["sort_key_val_s"] = timed(sort_only, lin.pm_pix)
 
-    # bucket prepass alone (sort + searchsorted + scatter + gathers)
+    # bucket prepass alone (sort + searchsorted + payload gather)
     from emba_tpu.kernels import a12_accum as K0
 
     @jax.jit
     def prepass_only(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e):
         w = jnp.ones_like(e)
-        vals5 = jnp.stack([w * dx * dx, w * dx * dy, w * dy * dy,
-                           e * dx, e * dy])
-        sw = jnp.sqrt(w)
-        t, pixf_b, payload_b = K0._bucket_prepass(
-            pm_pix, i_c, i_p, Jc, Jp, w * dx, w * dy, vals5, sw, sw * e,
-            cfg.num_pix,
+        t, payload_b = K0._bucket_prepass(
+            pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, w, cfg.num_pix,
         )
-        return t[::7].sum() + pixf_b[::997].sum() + payload_b[:, ::997].sum()
+        return t[::7].sum() + payload_b[1:, ::997].sum()
 
     res["bucket_prepass_s"] = timed(
         prepass_only, lin.pm_pix, lin.i_c, lin.i_p, lin.Jc, lin.Jp,
@@ -122,11 +118,8 @@ def main():
     @jax.jit
     def kern_full(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e):
         w = jnp.ones_like(e)
-        vals5 = jnp.stack([w * dx * dx, w * dx * dy, w * dy * dy,
-                           e * dx, e * dy])
-        sw = jnp.sqrt(w)
         a12, px5, a11b = K.a12_accumulate(
-            pm_pix, i_c, i_p, Jc, Jp, w * dx, w * dy, vals5, sw, sw * e,
+            pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, w,
             cfg.num_pix, 3 * nk, cfg.spline_order,
         )
         return a12[::513, ::129].sum() + px5.sum() + a11b.sum()

@@ -9,7 +9,7 @@ import pytest
 import emba_tpu.kernels.a12_accum as K
 
 
-def ref_accumulate(pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, hw, dim_pose):
+def ref_accumulate(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, wA, hw, dim_pose):
     d = Jc.shape[0]
     dp_pad = K._round_up(dim_pose, 128)
     hw_pad = K._round_up(hw, K.TILE_PX)
@@ -17,6 +17,11 @@ def ref_accumulate(pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, hw, dim_p
     px5 = np.zeros((hw_pad, 8), np.float32)
     a11 = np.zeros((dp_pad, dp_pad), np.float32)
     b1 = np.zeros(dp_pad, np.float32)
+    wdx, wdy = wA * dx, wA * dy
+    sw = np.sqrt(wA)
+    swe = sw * e
+    we = wA * e
+    vals5 = np.stack([wA * dx * dx, wA * dx * dy, wA * dy * dy, we * dx, we * dy])
     for m in range(len(pm_pix)):
         p = pm_pix[m]
         row = np.zeros(dp_pad, np.float32)
@@ -33,7 +38,7 @@ def ref_accumulate(pm_pix, i_c, i_p, Jc, Jp, wdx, wdy, vals5, sw, swe, hw, dim_p
     return a12, px5, a11, b1
 
 
-def make_inputs(rng, n, hw, knots, pix_mode="uniform"):
+def make_inputs(rng, n, hw, knots, pix_mode="uniform", knot_lo=0):
     d = 6
     if pix_mode == "uniform":
         pix = rng.integers(0, hw, n)
@@ -45,15 +50,14 @@ def make_inputs(rng, n, hw, knots, pix_mode="uniform"):
         pix = np.where(rng.random(n) < 0.5, 0, hw - 1)
     return (
         pix.astype(np.int32),
-        rng.integers(0, knots - 1, n).astype(np.int32),
-        rng.integers(0, knots - 1, n).astype(np.int32),
+        rng.integers(knot_lo, knots - 1, n).astype(np.int32),  # i_c
+        rng.integers(knot_lo, knots - 1, n).astype(np.int32),  # i_p
         rng.normal(size=(d, n)).astype(np.float32),
         rng.normal(size=(d, n)).astype(np.float32),
-        rng.normal(size=n).astype(np.float32),
-        rng.normal(size=n).astype(np.float32),
-        rng.normal(size=(5, n)).astype(np.float32),
-        rng.uniform(0.1, 1.0, size=n).astype(np.float32),  # sw
-        rng.normal(size=n).astype(np.float32),  # swe
+        rng.normal(size=n).astype(np.float32),  # dx
+        rng.normal(size=n).astype(np.float32),  # dy
+        rng.normal(size=n).astype(np.float32),  # e
+        rng.uniform(0.1, 1.0, size=n).astype(np.float32),  # wA
     )
 
 
@@ -81,6 +85,43 @@ def test_kernel_matches_reference(pix_mode):
 def test_kernel_tiny_n():
     rng = np.random.default_rng(1)
     check(make_inputs(rng, 3, 1024, 5, "uniform"), 1024, 5)
+
+
+def test_kernel_nan_bit_pattern_indices():
+    """Knot indices whose packed bit pattern forms a float32 NaN/Inf
+    (i_c in [2040, 2047] puts all-ones in the exponent field) must ride
+    the bitcast payload row unchanged through sort/gather."""
+    rng = np.random.default_rng(3)
+    knots = K.MAX_KNOTS  # i_c up to 2046 — includes the NaN-exponent range
+    args = make_inputs(rng, 400, 2048, knots, "uniform", knot_lo=2040)
+    dim_pose = 3 * knots
+    a12, px5, _a11b = K.a12_accumulate(
+        *(jnp.asarray(a) for a in args), num_pix=2048, dim_pose=dim_pose,
+        order=2,
+    )
+    pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, wA = args
+    dp_pad = K._round_up(dim_pose, 128)
+    # a12 reference restricted to the touched columns (the full outer-product
+    # reference at 2048 knots is needlessly slow)
+    ref_a12 = np.zeros((K._round_up(2048, K.TILE_PX), 2 * dp_pad), np.float32)
+    wdx, wdy = wA * dx, wA * dy
+    for m in range(len(pm_pix)):
+        for j in range(6):
+            ref_a12[pm_pix[m], 3 * i_c[m] + j] += Jc[j, m] * wdx[m]
+            ref_a12[pm_pix[m], 3 * i_p[m] + j] += Jp[j, m] * wdx[m]
+            ref_a12[pm_pix[m], dp_pad + 3 * i_c[m] + j] += Jc[j, m] * wdy[m]
+            ref_a12[pm_pix[m], dp_pad + 3 * i_p[m] + j] += Jp[j, m] * wdy[m]
+    np.testing.assert_allclose(np.asarray(a12), ref_a12, atol=2e-3)
+
+
+def test_kernel_rejects_too_many_knots():
+    rng = np.random.default_rng(4)
+    args = make_inputs(rng, 16, 1024, 8, "uniform")
+    with pytest.raises(ValueError, match="dim_pose"):
+        K.a12_accumulate(
+            *(jnp.asarray(a) for a in args), num_pix=1024,
+            dim_pose=3 * (K.MAX_KNOTS + 1), order=2,
+        )
 
 
 def test_streamed_pallas_matches_streamed_xla():
