@@ -202,13 +202,19 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     pmx, pmy = pm  # (N,), (N,)
     d = cfg.dim_block
 
-    # local pairing: gather the prev event's warped data by index
-    pm_prev = jnp.take(jnp.stack([pmx, pmy]), dev.prev_idx, axis=1)  # (2, N)
+    # local pairing: gather the prev event's warped data by index. TPU
+    # random gathers fetch whole (8,128) tiles per element, so (pmx, pmy)
+    # and the 2D Jacobian rows ride ONE stacked gather (2+2D rows) instead
+    # of two separate ones (1 + ceil(2D/8) tile fetches per element fewer).
     if need_deriv:
-        dpm_prev = jnp.take(
-            dpm_dcp.reshape(2 * d, -1), dev.prev_idx, axis=1
-        ).reshape(2, d, -1)  # one fused column gather
+        prev_src = jnp.concatenate(
+            [jnp.stack([pmx, pmy]), dpm_dcp.reshape(2 * d, -1)], axis=0
+        )  # (2 + 2D, N)
+        prev_g = jnp.take(prev_src, dev.prev_idx, axis=1)
+        pm_prev = prev_g[:2]
+        dpm_prev = prev_g[2:].reshape(2, d, -1)
     else:
+        pm_prev = jnp.take(jnp.stack([pmx, pmy]), dev.prev_idx, axis=1)
         dpm_prev = None
     i_p = cp_idx[dev.prev_idx]
     return linearize_from_warp(
@@ -237,8 +243,18 @@ def linearize_from_warp(
     py = jnp.clip(jnp.floor(pmy + 0.5).astype(jnp.int32), 0, cfg.pano_height - 1)
     pm_pix = py * cfg.pano_width + px
 
-    gmaps = jnp.stack([Gx.reshape(-1), Gy.reshape(-1)])  # (2, HW)
-    g_at = jnp.take(gmaps, pm_pix, axis=1)  # one fused gather -> (2, N)
+    # One map gather for everything indexed by pm_pix: (Gx, Gy) and, in
+    # derivative mode, the three second-order maps ride the SAME (5, HW)
+    # stacked gather (one tile fetch per element instead of two).
+    if need_deriv:
+        gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
+        gmaps = jnp.stack(
+            [Gx.reshape(-1), Gy.reshape(-1), gxx_m.reshape(-1),
+             gxy_m.reshape(-1), gyy_m.reshape(-1)]
+        )  # (5, HW)
+    else:
+        gmaps = jnp.stack([Gx.reshape(-1), Gy.reshape(-1)])  # (2, HW)
+    g_at = jnp.take(gmaps, pm_pix, axis=1)  # one fused gather -> (2|5, N)
     gx, gy = g_at[0], g_at[1]
     c_pred = gx * dx + gy * dy
     c_meas = pol_signed * cfg.c_th
@@ -266,13 +282,7 @@ def linearize_from_warp(
             i_p=i_p,
         )
 
-    gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
-    g2 = jnp.take(
-        jnp.stack([gxx_m.reshape(-1), gxy_m.reshape(-1), gyy_m.reshape(-1)]),
-        pm_pix,
-        axis=1,
-    )  # one fused gather -> (3, N)
-    gxx, gxy, gyy = g2[0], g2[1], g2[2]
+    gxx, gxy, gyy = g_at[2], g_at[3], g_at[4]
     # temp = Gpm + dp^T G2pm  (1x2; reference model.cpp:238)
     tx = gx + dx * gxx + dy * gxy
     ty = gy + dx * gxy + dy * gyy
@@ -639,42 +649,74 @@ def form_normal_eq_streamed(
 
     # per-batch pose tables once (NB-sized), reused by every chunk
     R_b, J_b = warp.spline_tables(knots, dev.batch_s, dev.batch_u, order, True)
-    # map value / second-gradient planes once
-    gmaps = jnp.stack([Gx.reshape(-1), Gy.reshape(-1)])
+    # One stacked (5, HW) map plane: values + second-order gradients share
+    # each chunk's pm_pix gather (one tile fetch per element instead of two).
     gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
-    g2maps = jnp.stack(
-        [gxx_m.reshape(-1), gxy_m.reshape(-1), gyy_m.reshape(-1)]
+    gmaps = jnp.stack(
+        [Gx.reshape(-1), Gy.reshape(-1), gxx_m.reshape(-1),
+         gxy_m.reshape(-1), gyy_m.reshape(-1)]
     )
 
+    # Chunk inputs are CONTIGUOUS slices: pad every per-event array once to
+    # a chunk multiple so the loop body runs plain dynamic_slices instead of
+    # clamped gathers (a real cost at 10^7-10^8 events). The prev-event
+    # bearings keep a random gather (prevs are scattered), but the prev
+    # batch id rides the same gather as a bitcast f32 row (4 rows = 1 tile).
+    pad = n_chunks * sc - n
+
+    def pad1(a, v=0):
+        return jnp.pad(a, ((0, pad),), constant_values=v)
+
+    e_pd = pad1(lin.e)
+    inl_pd = pad1(lin.inlier, False)
+    pmp_pd = pad1(lin.pm_pix)
+    dx_pd, dy_pd = pad1(lin.dx), pad1(lin.dy)
+    ic_pd, ip_pd = pad1(lin.i_c), pad1(lin.i_p)
+    prev_pd = pad1(dev.prev_idx)
+    bid_pd = pad1(dev.batch_ids)
+    # pad with a unit bearing (z=1): an all-zero bearing makes the warp
+    # produce NaN (0/0), which survives the zero measurement weight
+    bear_pd = jnp.pad(dev.bearings, ((0, 0), (0, pad))).at[2, n:].set(1.0)
+    merge_prev = dt == jnp.float32
+    if merge_prev:
+        prev_src = jnp.concatenate(
+            [
+                dev.bearings,
+                jax.lax.bitcast_convert_type(
+                    dev.batch_ids, jnp.float32
+                )[None, :],
+            ],
+            axis=0,
+        )  # (4, N)
+
     def chunk_pieces(c):
-        idx = c * sc + jnp.arange(sc, dtype=jnp.int32)
-        oob = idx >= n  # clamped tail duplicates are masked out
-        idxc = jnp.minimum(idx, n - 1)
-        e_c = jnp.take(lin.e, idxc)
-        inl_c = jnp.take(lin.inlier, idxc) & ~oob
-        pmp_c = jnp.take(lin.pm_pix, idxc)
-        dx_c = jnp.take(lin.dx, idxc)
-        dy_c = jnp.take(lin.dy, idxc)
-        ic_c = jnp.take(lin.i_c, idxc)
-        ip_c = jnp.take(lin.i_p, idxc)
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, c * sc, sc, axis=-1)
+
+        e_c, inl_c, pmp_c = sl(e_pd), sl(inl_pd), sl(pmp_pd)
+        dx_c, dy_c = sl(dx_pd), sl(dy_pd)
+        ic_c, ip_c = sl(ic_pd), sl(ip_pd)
         # recompute the chunk Jacobians: curr warp + prev re-warp
-        b_c = jnp.take(dev.bearings, idxc, axis=1)
-        bid_c = jnp.take(dev.batch_ids, idxc)
         _, _, dpm_c = warp.warp_from_tables(
-            R_b, J_b, dev.batch_s, bid_c, b_c, cfg.pano, order, True
+            R_b, J_b, dev.batch_s, sl(bid_pd), sl(bear_pd).astype(dt),
+            cfg.pano, order, True,
         )
-        prev_c = jnp.take(dev.prev_idx, idxc)
-        b_p = jnp.take(dev.bearings, prev_c, axis=1)
-        bid_p = jnp.take(dev.batch_ids, prev_c)
+        prev_c = sl(prev_pd)
+        if merge_prev:
+            prev_g = jnp.take(prev_src, prev_c, axis=1)  # (4, sc)
+            bid_p = jax.lax.bitcast_convert_type(prev_g[3], jnp.int32)
+            b_p = prev_g[:3]
+        else:  # f64 (CPU / oracle parity): no 32-bit bitcast packing
+            bid_p = jnp.take(dev.batch_ids, prev_c)
+            b_p = jnp.take(dev.bearings, prev_c, axis=1)
         _, _, dpm_p = warp.warp_from_tables(
-            R_b, J_b, dev.batch_s, bid_p, b_p, cfg.pano, order, True
+            R_b, J_b, dev.batch_s, bid_p, b_p, cfg.pano, order, True,
         )
-        g_at = jnp.take(gmaps, pmp_c, axis=1)
+        g_at = jnp.take(gmaps, pmp_c, axis=1)  # (5, sc), one gather
         gx_c, gy_c = g_at[0], g_at[1]
-        g2 = jnp.take(g2maps, pmp_c, axis=1)
         # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
-        tx = gx_c + dx_c * g2[0] + dy_c * g2[1]
-        ty = gy_c + dx_c * g2[1] + dy_c * g2[2]
+        tx = gx_c + dx_c * g_at[2] + dy_c * g_at[3]
+        ty = gy_c + dx_c * g_at[3] + dy_c * g_at[4]
         Jc_c = tx[None, :] * dpm_c[0] + ty[None, :] * dpm_c[1]
         Jp_c = -(gx_c[None, :] * dpm_p[0] + gy_c[None, :] * dpm_p[1])
         row_c = pmp_c if cfg.compact_cap is None else pix2row[pmp_c]

@@ -226,8 +226,11 @@ def test_form_normal_eq_pallas_path(scene):
     lin = M.linearize(knots, Gx, Gy, dev32, cfg, need_deriv=True)
     neq0 = M.form_normal_eq(lin, Gx, Gy, cfg, traj.num_knots)
     neq1 = M.form_normal_eq(lin, Gx, Gy, cfg_p, traj.num_knots)
+    # A11 runs a manual 3-pass bf16 hi/lo Gram expansion (~16-bit operand
+    # mantissa; the dropped lo*lo term is below f32 round-off) — slightly
+    # looser than the P-exact 2-pass A12 splits.
     np.testing.assert_allclose(
-        np.asarray(neq1.A11), np.asarray(neq0.A11), rtol=1e-5, atol=1e-4
+        np.asarray(neq1.A11), np.asarray(neq0.A11), rtol=3e-4, atol=2e-3
     )
     np.testing.assert_allclose(
         np.asarray(neq1.A12), np.asarray(neq0.A12), rtol=1e-5, atol=1e-4
