@@ -230,9 +230,16 @@ def shard_window_all(win_dev: M.DeviceWindow, mesh: Mesh) -> M.DeviceWindow:
 def _linearize_sharded(
     knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev, batch_ids,
     batch_s, batch_u, spix, cfg: M.ModelConfig, num_sensor_pix: int,
-    axes, n_shards: int, my, need_deriv: bool,
+    axes, n_shards: int, my, need_deriv: bool, return_prev_src: bool = False,
 ):
     """Shard-local linearization with EXACT cross-shard pairing.
+
+    Returns ``(lin, prev_src)``. With ``return_prev_src`` the halo also
+    ships each boundary record's BEARING and BATCH ID (state-independent),
+    and ``prev_src = (prev_bearings (3, nl), prev_bids (nl,))`` resolves
+    every local measurement's prev-event inputs — what the streamed forming
+    pass needs to recompute prev Jacobians shard-locally
+    (``model.form_normal_eq_streamed``); otherwise ``prev_src`` is None.
 
     The reference pairs consecutive events per sensor pixel with no regard
     to any partitioning (model.cpp:179-246). Under time-contiguous event
@@ -268,33 +275,51 @@ def _linearize_sharded(
     feats = [pmx[li][None, :], pmy[li][None, :]]
     if need_deriv:
         feats.append(jnp.take(dpm.reshape(2 * d, nl), li, axis=1))
+    boff = len(feats) if not need_deriv else 2 + 2 * d  # bearing row offset
+    if return_prev_src:
+        feats.append(jnp.take(bearings, li, axis=1).astype(pmx.dtype))
     export = jnp.where(valid[None, :], jnp.concatenate(feats, axis=0), 0.0)
     exp_i = jnp.where(valid, cp_idx[li], 0)
+    if return_prev_src:  # batch id rides the same int all_gather
+        exp_i = jnp.stack([exp_i, jnp.where(valid, batch_ids[li], 0)])
 
     # -- one all_gather, then fold earlier shards (latest wins) -------------
     tf = jax.lax.all_gather(export, axes)  # (n_shards, F, P)
-    ti = jax.lax.all_gather(exp_i, axes)  # (n_shards, P)
+    ti = jax.lax.all_gather(exp_i, axes)  # (n_shards, [2,] P)
     tv = jax.lax.all_gather(valid, axes)  # (n_shards, P)
+    # never-seen pixels keep a unit bearing (z=1): an all-zero bearing makes
+    # the prev re-warp produce NaN, which survives the zero weight
     sel = jnp.zeros_like(export)
+    if return_prev_src:
+        sel = sel.at[boff + 2].set(1.0)
     sel_i = jnp.zeros_like(exp_i)
     for sp in range(n_shards):
         use = tv[sp] & (jnp.asarray(sp, my.dtype) < my)
         sel = jnp.where(use[None, :], tf[sp], sel)
-        sel_i = jnp.where(use, ti[sp], sel_i)
+        sel_i = jnp.where(
+            use[None, :] if return_prev_src else use, ti[sp], sel_i
+        )
 
     # -- per-event prev data: local gather or halo lookup -------------------
     halo = jnp.take(sel, spix, axis=1)  # (F, nl)
-    halo_i = sel_i[spix]
+    halo_i = (sel_i[0] if return_prev_src else sel_i)[spix]
     pm_prev_loc = jnp.take(jnp.stack([pmx, pmy]), lp, axis=1)
     pm_prev = jnp.where(in_shard[None, :], pm_prev_loc, halo[:2])
     if need_deriv:
         dpm_prev_loc = jnp.take(dpm.reshape(2 * d, nl), lp, axis=1)
-        dpm_prev = jnp.where(in_shard[None, :], dpm_prev_loc, halo[2:]).reshape(
-            2, d, nl
-        )
+        dpm_prev = jnp.where(
+            in_shard[None, :], dpm_prev_loc, halo[2:boff]
+        ).reshape(2, d, nl)
     else:
         dpm_prev = None
     i_p = jnp.where(in_shard, cp_idx[lp], halo_i)
+    prev_src = None
+    if return_prev_src:
+        prev_bear = jnp.where(
+            in_shard[None, :], jnp.take(bearings, lp, axis=1), halo[boff:]
+        )
+        prev_bid = jnp.where(in_shard, batch_ids[lp], sel_i[1][spix])
+        prev_src = (prev_bear, prev_bid)
 
     lin = M.linearize_from_warp(
         pmx, pmy, cp_idx, dpm, pm_prev, dpm_prev, i_p, has_prev, pol_signed,
@@ -304,7 +329,8 @@ def _linearize_sharded(
     # active status depends on events from every shard)
     import dataclasses as _dc
 
-    return _dc.replace(lin, num_ev_map=jax.lax.psum(lin.num_ev_map, axes))
+    lin = _dc.replace(lin, num_ev_map=jax.lax.psum(lin.num_ev_map, axes))
+    return lin, prev_src
 
 
 def make_shardmap_normal_eq(
@@ -337,7 +363,7 @@ def make_shardmap_normal_eq(
     def per_shard(knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
                   batch_ids, batch_s, batch_u, spix):
         my = jax.lax.axis_index("ev")
-        lin = _linearize_sharded(
+        lin, _ = _linearize_sharded(
             knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
             batch_ids, batch_s, batch_u, spix, cfg, num_sensor_pix,
             ("ev",), n_ev, my, True,
@@ -513,29 +539,54 @@ def make_solve_window_sharded(
     n_shards = n_ev * n_tile
     axes = ("ev", "tile")
     dim = 3 * num_knots
+    # streamed mode: the light linearization carries no (D, N) Jacobians —
+    # the forming pass recomputes them per chunk (10^7-10^8-event windows
+    # compose with event sharding)
+    streamed = cfg.stream_chunk is not None
 
     def per_shard(knots, Gx, Gy, damping, tol_fun, bearings, pol_signed,
                   prev_idx, has_prev, batch_ids, batch_s, batch_u, spix):
         dt = Gx.dtype
         my = jax.lax.axis_index("ev") * n_tile + jax.lax.axis_index("tile")
         reg_scale = (my == 0).astype(dt)
+        local_dev = M.DeviceWindow(
+            bearings=bearings, pol_signed=pol_signed, prev_idx=prev_idx,
+            has_prev=has_prev, batch_ids=batch_ids, batch_s=batch_s,
+            batch_u=batch_u, sensor_pix=spix,
+        )
 
-        def lin_local(knots_, gx_, gy_):
+        def lin_full(knots_, gx_, gy_, return_prev_src=False):
             return _linearize_sharded(
                 knots_, gx_, gy_, bearings, pol_signed, prev_idx, has_prev,
                 batch_ids, batch_s, batch_u, spix, cfg, num_sensor_pix,
-                axes, n_shards, my, True,
+                axes, n_shards, my, not streamed, return_prev_src,
             )
+
+        def lin_local(knots_, gx_, gy_):
+            return lin_full(knots_, gx_, gy_)[0]
 
         def cost_of(lin, gx_, gy_):
             return jax.lax.psum(M.data_cost(lin.e, cfg), axes) + M.reg_cost(
                 gx_, gy_, cfg.alpha
             )
 
-        def form_reduce(lin, gx_, gy_):
+        # cross-shard prev bearings/batch-ids are STATE-INDEPENDENT (the
+        # pairing and the halo fold winner depend only on event order):
+        # resolve them through the halo ONCE, reuse every LM iteration.
+        lin0, prev_src = lin_full(knots, Gx, Gy, streamed)
+
+        def form_reduce(lin, knots_, gx_, gy_):
             """Form shard-locally, reduce: pose block replicated, map rows
             chunked over all devices."""
-            neq = M.form_normal_eq(lin, gx_, gy_, cfg, num_knots, reg_scale)
+            if streamed:
+                neq = M.form_normal_eq_streamed(
+                    lin, knots_, gx_, gy_, local_dev, cfg, num_knots,
+                    reg_scale, prev_bearings=prev_src[0],
+                    prev_bids=prev_src[1],
+                )
+            else:
+                neq = M.form_normal_eq(lin, gx_, gy_, cfg, num_knots,
+                                       reg_scale)
             r_pad = neq.a22_xx.shape[0]
             if r_pad % n_shards:
                 raise ValueError(
@@ -579,9 +630,8 @@ def make_solve_window_sharded(
             gy2 = jnp.where(act, gy_ + damping * dyp, 0.0)
             return gx2, gy2
 
-        lin0 = lin_local(knots, Gx, Gy)
         cost0 = cost_of(lin0, Gx, Gy)
-        red0 = form_reduce(lin0, Gx, Gy)
+        red0 = form_reduce(lin0, knots, Gx, Gy)
 
         def lm_iter(state):
             (knots, Gx, Gy, lin, red, lam, cost_min, count_tol, it,
@@ -605,7 +655,8 @@ def make_solve_window_sharded(
             # collectives inside the branch execute uniformly.
             red_new, lin_sel = jax.lax.cond(
                 accept,
-                lambda: (form_reduce(lin_new, gx_new, gy_new), lin_new),
+                lambda: (form_reduce(lin_new, knots_new, gx_new, gy_new),
+                         lin_new),
                 lambda: (red, lin),
             )
             knots = jnp.where(accept, knots_new, knots)

@@ -618,7 +618,7 @@ def _xla_accumulate(
 @partial(jax.jit, static_argnames=("cfg", "num_knots"))
 def form_normal_eq_streamed(
     lin: Linearization, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
-    num_knots: int, reg_scale=None,
+    num_knots: int, reg_scale=None, prev_bearings=None, prev_bids=None,
 ) -> NormalEq:
     """Streamed normal-equation forming for reference-scale windows
     (10^7-10^8 events, SURVEY.md §6): identical math to
@@ -636,6 +636,12 @@ def form_normal_eq_streamed(
     classic path is one extra warp per measurement (the prev re-warp) —
     cheap next to the accumulation GEMMs — in exchange for O(N) instead of
     O(D*N) resident bytes.
+
+    ``prev_bearings`` (3, N) / ``prev_bids`` (N,) optionally supply each
+    measurement's PREV-event bearing and batch id directly instead of the
+    ``dev.prev_idx`` gather — the sharded window resolves cross-shard prevs
+    through its halo exchange once (they are state-independent) and passes
+    them here, so streamed forming composes with event sharding.
     """
     dt = lin.e.dtype
     order = cfg.spline_order
@@ -672,12 +678,17 @@ def form_normal_eq_streamed(
     pmp_pd = pad1(lin.pm_pix)
     dx_pd, dy_pd = pad1(lin.dx), pad1(lin.dy)
     ic_pd, ip_pd = pad1(lin.i_c), pad1(lin.i_p)
-    prev_pd = pad1(dev.prev_idx)
+    have_prev_src = prev_bearings is not None
+    if have_prev_src:
+        pb_pd = jnp.pad(prev_bearings, ((0, 0), (0, pad))).at[2, n:].set(1.0)
+        pbid_pd = pad1(prev_bids)
+    else:
+        prev_pd = pad1(dev.prev_idx)
     bid_pd = pad1(dev.batch_ids)
     # pad with a unit bearing (z=1): an all-zero bearing makes the warp
     # produce NaN (0/0), which survives the zero measurement weight
     bear_pd = jnp.pad(dev.bearings, ((0, 0), (0, pad))).at[2, n:].set(1.0)
-    merge_prev = dt == jnp.float32
+    merge_prev = dt == jnp.float32 and not have_prev_src
     if merge_prev:
         prev_src = jnp.concatenate(
             [
@@ -701,12 +712,16 @@ def form_normal_eq_streamed(
             R_b, J_b, dev.batch_s, sl(bid_pd), sl(bear_pd).astype(dt),
             cfg.pano, order, True,
         )
-        prev_c = sl(prev_pd)
-        if merge_prev:
+        if have_prev_src:  # pre-resolved prevs (sharded path): contiguous
+            b_p = sl(pb_pd).astype(dt)
+            bid_p = sl(pbid_pd)
+        elif merge_prev:
+            prev_c = sl(prev_pd)
             prev_g = jnp.take(prev_src, prev_c, axis=1)  # (4, sc)
             bid_p = jax.lax.bitcast_convert_type(prev_g[3], jnp.int32)
             b_p = prev_g[:3]
         else:  # f64 (CPU / oracle parity): no 32-bit bitcast packing
+            prev_c = sl(prev_pd)
             bid_p = jnp.take(dev.batch_ids, prev_c)
             b_p = jnp.take(dev.bearings, prev_c, axis=1)
         _, _, dpm_p = warp.warp_from_tables(

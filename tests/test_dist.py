@@ -171,6 +171,83 @@ def test_solve_window_sharded_matches_fused(problem, mesh_shape):
     np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
 
 
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+def test_solve_window_sharded_streamed_matches_fused(problem, mesh_shape):
+    """Streamed forming composes with the sharded LM window: per-event
+    Jacobians recomputed in chunks shard-locally (O(N_shard) carry), with
+    cross-shard prev bearings/batch-ids resolved ONCE through the halo
+    (they are state-independent). Must reproduce the single-device CLASSIC
+    fused solver exactly (streamed forming == classic forming in f64)."""
+    import dataclasses as dc
+
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, cost1, it1, conv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+        max_num_iter=6,
+    )
+
+    cfg_s = dc.replace(cfg, stream_chunk=2048)
+    mesh = dist.make_mesh(*mesh_shape, jax.devices()[:8])
+    solve_s = dist.make_solve_window_sharded(
+        mesh, cfg_s, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=6,
+    )
+    k8, gx8, gy8, cost8, it8, conv8 = solve_s(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+    assert int(it8) == int(it1)
+    assert bool(conv8) == bool(conv1)
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
+
+
+def test_solve_window_sharded_streamed_compact(problem):
+    """Streamed forming + active-pixel compaction + sharding all compose:
+    equal to the single-device classic solve."""
+    import dataclasses as dc
+
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, cost1, it1, _ = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+        max_num_iter=5,
+    )
+
+    cfg_sc = dc.replace(cfg, stream_chunk=2048, compact_cap=512)
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    solve = dist.make_solve_window_sharded(
+        mesh, cfg_sc, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=5,
+    )
+    k8, gx8, gy8, cost8, it8, _ = solve(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+    assert int(it8) == int(it1)
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
+
+
 def test_solve_window_sharded_with_compaction(problem):
     """Active-pixel compaction composes with the sharded LM window: the
     compact row space is derived from the psum'd global activity map
