@@ -634,7 +634,7 @@ def make_solve_window_sharded(
         red0 = form_reduce(lin0, knots, Gx, Gy)
 
         def lm_iter(state):
-            (knots, Gx, Gy, lin, red, lam, cost_min, count_tol, it,
+            (knots, Gx, Gy, red, lam, cost_min, count_tol, it,
              converged) = state
             (A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
              pix2row, active_pix) = red
@@ -652,12 +652,14 @@ def make_solve_window_sharded(
             # accept: take trial state + relinearized reduced system,
             # lam /= 10; reject: keep, lam *= 10 (solver.cpp:299-352).
             # `accept` is replicated (derived from psum'd costs), so the
-            # collectives inside the branch execute uniformly.
-            red_new, lin_sel = jax.lax.cond(
+            # collectives inside the branch execute uniformly. Only the
+            # REDUCED system is carried across iterations — re-carrying the
+            # linearization would where-merge (D, N_shard) data nothing
+            # reads.
+            red_new = jax.lax.cond(
                 accept,
-                lambda: (form_reduce(lin_new, knots_new, gx_new, gy_new),
-                         lin_new),
-                lambda: (red, lin),
+                lambda: form_reduce(lin_new, knots_new, gx_new, gy_new),
+                lambda: red,
             )
             knots = jnp.where(accept, knots_new, knots)
             Gx = jnp.where(accept, gx_new, Gx)
@@ -669,12 +671,12 @@ def make_solve_window_sharded(
             )
             converged = count_tol >= num_times_tol_fun_sat
             cost_min = jnp.where(accept, cost_new, cost_min)
-            return (knots, Gx, Gy, lin_sel, red_new, lam, cost_min,
+            return (knots, Gx, Gy, red_new, lam, cost_min,
                     count_tol, it + 1, converged)
 
         def cond(state):
             lam, cost_min, it, converged = (
-                state[5], state[6], state[8], state[9]
+                state[4], state[5], state[7], state[8]
             )
             return (
                 (it <= max_num_iter)
@@ -685,10 +687,10 @@ def make_solve_window_sharded(
             )
 
         state0 = (
-            knots, Gx, Gy, lin0, red0, jnp.asarray(1e-3, dt), cost0,
+            knots, Gx, Gy, red0, jnp.asarray(1e-3, dt), cost0,
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
         )
-        knots, Gx, Gy, _lin, _red, _lam, cost_min, _ct, it, converged = (
+        knots, Gx, Gy, _red, _lam, cost_min, _ct, it, converged = (
             jax.lax.while_loop(cond, lm_iter, state0)
         )
         return knots, Gx, Gy, cost_min, it, converged

@@ -312,7 +312,7 @@ def solve_window_fused(
     neq0 = _form(lin0, knots, Gx, Gy)
 
     def lm_iter(state):
-        (knots, Gx, Gy, lin, neq, lam, cost_min, count_tol, it, converged) = state
+        (knots, Gx, Gy, neq, lam, cost_min, count_tol, it, converged) = state
 
         if use_cg:
             x1, x2, _, _ = M.solve_normal_eq_cg(neq, lam, fix_first)
@@ -329,7 +329,10 @@ def solve_window_fused(
 
         accept = cost_new < cost_min
         # accept: take trial state, relinearized normal eq, lam /= 10
-        # reject: keep state, same normal eq, lam *= 10 (solver.cpp:299-352)
+        # reject: keep state, same normal eq, lam *= 10 (solver.cpp:299-352).
+        # NOTE the linearization itself is NOT carried across iterations —
+        # only the reduced system is; re-carrying lin would cost a full
+        # (D, N) where-merge per iteration for data nothing reads.
         neq_new = jax.lax.cond(
             accept,
             lambda: _form(lin_new, knots_new, gx_new, gy_new),
@@ -338,7 +341,6 @@ def solve_window_fused(
         knots = jnp.where(accept, knots_new, knots)
         Gx = jnp.where(accept, gx_new, Gx)
         Gy = jnp.where(accept, gy_new, Gy)
-        lin = jax.tree.map(lambda a, b: jnp.where(accept, a, b), lin_new, lin)
         lam = jnp.where(accept, lam / 10.0, lam * 10.0)
         rel = jnp.abs(1.0 - cost_new / (cost_min + 1e-10))
         count_tol = jnp.where(
@@ -346,11 +348,11 @@ def solve_window_fused(
         )
         converged = count_tol >= num_times_tol_fun_sat
         cost_min = jnp.where(accept, cost_new, cost_min)
-        return (knots, Gx, Gy, lin, neq_new, lam, cost_min, count_tol,
+        return (knots, Gx, Gy, neq_new, lam, cost_min, count_tol,
                 it + 1, converged)
 
     def cond(state):
-        lam, cost_min, it, converged = state[5], state[6], state[8], state[9]
+        lam, cost_min, it, converged = state[4], state[5], state[7], state[8]
         return (
             (it <= max_num_iter)
             & (cost_min > 1e-16)
@@ -360,11 +362,11 @@ def solve_window_fused(
         )
 
     state0 = (
-        knots, Gx, Gy, lin0, neq0,
+        knots, Gx, Gy, neq0,
         jnp.asarray(1e-3, dt), cost0, jnp.asarray(0), jnp.asarray(0),
         jnp.asarray(False),
     )
-    knots, Gx, Gy, _lin, _neq, _lam, cost_min, _ct, it, converged = (
+    knots, Gx, Gy, _neq, _lam, cost_min, _ct, it, converged = (
         jax.lax.while_loop(cond, lm_iter, state0)
     )
     return knots, Gx, Gy, cost_min, it, converged
