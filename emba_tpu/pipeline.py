@@ -456,13 +456,12 @@ class EmbaPipeline:
             if fused and use_sharded:
                 from . import dist
 
-                # the sharded builder streams neither (forming is shard-
-                # local over 1/n_dev of the events — memory already scales)
-                mcfg_s = dataclasses.replace(mcfg, stream_chunk=None)
+                # streamed forming composes with sharding (chunk-recomputed
+                # Jacobians shard-locally); mcfg.stream_chunk is honored
                 mesh = dist.make_mesh(n_dev, 1)
                 t0 = time.perf_counter()
                 solve = dist.make_solve_window_sharded(
-                    mesh, mcfg_s, seg.num_knots,
+                    mesh, mcfg, seg.num_knots,
                     self.camera.width * self.camera.height,
                     fix_first=first_window,
                     max_num_iter=cfg.max_num_iter,
