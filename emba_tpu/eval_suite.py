@@ -63,6 +63,8 @@ def run_sequence(
     num_steps: int | None = None,
     c_th: float = 0.1,
     dtype=None,
+    max_events: int = 4_000_000,
+    stream_over: int = 8_000_000,
 ) -> dict:
     if dtype is None:
         dtype = jnp.float32
@@ -96,14 +98,17 @@ def run_sequence(
     )
     # Systematic subsampling to a memory budget (the reference's
     # event_sampling_rate, emba.cpp:282-304; its docs recommend it exactly
-    # when memory runs out).
-    max_events = 4_000_000
+    # when memory runs out). With streamed forming this is OPTIONAL here —
+    # pass max_events=0 to run the full stream un-subsampled (windows past
+    # ``stream_over`` events auto-enable chunk-recomputed Jacobians).
     ev = (scene.t, scene.x, scene.y, scene.pol)
-    if len(scene.t) > max_events:
+    if max_events and len(scene.t) > max_events:
         from .pipeline import systematic_subsample
 
         rate = int(np.ceil(len(scene.t) / max_events))
         ev = systematic_subsample(*ev, rate)
+    if len(ev[0]) > stream_over:
+        cfg = dataclasses.replace(cfg, stream_chunk=1 << 20)
 
     # front-end-like perturbation: smooth random walk on the knots
     steps = rng.normal(size=(scene.traj.num_knots, 3)) * perturb
@@ -182,8 +187,9 @@ def run_suite(out_path: str | None = None, sequences=None, **kw) -> list[dict]:
     return results
 
 
-def run_ecrot_like(out_path: str | None = None):
-    """The reference-shaped suite: 240x180 sensor, 1024x512 pano, 4.8 s."""
+def run_ecrot_like(out_path: str | None = None, **kw):
+    """The reference-shaped suite: 240x180 sensor, 1024x512 pano, 4.8 s.
+    Pass max_events=0 to run the full (un-subsampled) event streams."""
     return run_suite(
         out_path,
         sequences=ECROT_LIKE,
@@ -194,14 +200,16 @@ def run_ecrot_like(out_path: str | None = None):
         perturb=0.005,
         max_iter=30,
         num_steps=1500,
+        **kw,
     )
 
 
 if __name__ == "__main__":
     import sys
 
+    out = [a for a in sys.argv[1:] if not a.startswith("-")]
+    kw = {"max_events": 0} if "--full" in sys.argv else {}
     if "--ecrot" in sys.argv:
-        out = [a for a in sys.argv[1:] if not a.startswith("-")]
-        run_ecrot_like(out[0] if out else "suite_ecrot_like.json")
+        run_ecrot_like(out[0] if out else "suite_ecrot_like.json", **kw)
     else:
-        run_suite(sys.argv[1] if len(sys.argv) > 1 else "suite_results.json")
+        run_suite(out[0] if out else "suite_results.json", **kw)
