@@ -73,29 +73,41 @@ def _kernel(
     tile_of_chunk_ref,
     # blocked input (VMEM)
     payload_ref,  # (NP_ROWS, MC) f32; row 0 is the bitcast-packed indices
-    # outputs (blocked VMEM, dynamically tile-indexed)
-    a12_ref,  # (TILE_PX, 2*dp_pad)
-    px5_ref,  # (TILE_PX, 8)
-    a11_ref,  # (dp_pad + 8, dp_pad): rows [0:dp_pad) = A11, row dp_pad = b1
-    *,
+    # with carry=True: aliased accumulator inputs, then outputs; otherwise
+    # just the outputs (blocked VMEM, dynamically tile-indexed)
+    *refs,  # [a12_in, px5_in, a11_in,] a12, px5, a11
     dp_pad: int,
     order: int,
+    carry: bool,
 ):
+    if carry:
+        a12_in_ref, px5_in_ref, a11_in_ref, a12_ref, px5_ref, a11_ref = refs
+    else:
+        a12_ref, px5_ref, a11_ref = refs
     i = pl.program_id(0)
     tile = tile_of_chunk_ref[i]
 
-    # Zero the output block on first visit of this tile; the A11 block maps
-    # to a constant index so it is zeroed once and revisited by every chunk.
+    # Initialize the output block on first visit of this tile (from the
+    # aliased carry when chaining across streamed chunks — the megablox gmm
+    # existing_out pattern — else zeros); the A11 block maps to a constant
+    # index so it is initialized once and revisited by every chunk.
     is_first = jnp.logical_or(i == 0, tile_of_chunk_ref[jnp.maximum(i - 1, 0)] != tile)
 
     @pl.when(is_first)
     def _():
-        a12_ref[...] = jnp.zeros_like(a12_ref)
-        px5_ref[...] = jnp.zeros_like(px5_ref)
+        if carry:
+            a12_ref[...] = a12_in_ref[...]
+            px5_ref[...] = px5_in_ref[...]
+        else:
+            a12_ref[...] = jnp.zeros_like(a12_ref)
+            px5_ref[...] = jnp.zeros_like(px5_ref)
 
     @pl.when(i == 0)
     def _():
-        a11_ref[...] = jnp.zeros_like(a11_ref)
+        if carry:
+            a11_ref[...] = a11_in_ref[...]
+        else:
+            a11_ref[...] = jnp.zeros_like(a11_ref)
 
     d = 3 * order
     col_ids_f = jax.lax.broadcasted_iota(jnp.int32, (1, dp_pad), 1).astype(
@@ -213,6 +225,7 @@ def a12_accumulate(
     num_pix: int,
     dim_pose: int,
     order: int,
+    carry=None,
 ):
     """Sorted-scatter accumulation of A12 + per-pixel sums + the pose normal
     equations (see module doc).
@@ -227,6 +240,10 @@ def a12_accumulate(
       e: (N,) residuals.
       wA: (N,) measurement weights (>= 0; 0 disables a measurement).
       num_pix: HW (static); dim_pose: 3K (static); order: spline order.
+      carry: optional (a12, px5, a11b) from a previous call to accumulate
+        INTO (donated via input_output_aliases — the kernel adds this
+        chunk's contributions in place, so chaining streamed chunks costs
+        no extra accumulator buffers or add passes).
 
     Returns:
       a12: (HW_pad, 2*dp_pad), dp_pad = round_up(dim_pose, 128); columns
@@ -249,19 +266,30 @@ def a12_accumulate(
     )
     n_chunks = payload_b.shape[1] // MC
 
+    out_specs = [
+        pl.BlockSpec((TILE_PX, 2 * dp_pad), lambda i, t: (t[i], 0)),
+        pl.BlockSpec((TILE_PX, 8), lambda i, t: (t[i], 0)),
+        pl.BlockSpec((dp_pad + 8, dp_pad), lambda i, t: (0, 0)),
+    ]
+    in_specs = [pl.BlockSpec((np_rows, MC), lambda i, *_: (0, i))]
+    operands = [tile_of_chunk, payload_b]
+    aliases = {}
+    if carry is not None:
+        # carry accumulators ride as aliased inputs with the SAME index maps
+        # as the outputs; indices count ALL positional operands including the
+        # scalar-prefetch one (tile_of_chunk=0, payload=1, carry=2,3,4).
+        in_specs = in_specs + out_specs
+        operands = operands + list(carry)
+        aliases = {2: 0, 3: 1, 4: 2}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((np_rows, MC), lambda i, *_: (0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_PX, 2 * dp_pad), lambda i, t: (t[i], 0)),
-            pl.BlockSpec((TILE_PX, 8), lambda i, t: (t[i], 0)),
-            pl.BlockSpec((dp_pad + 8, dp_pad), lambda i, t: (0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    kernel = functools.partial(_kernel, dp_pad=dp_pad, order=order)
+    kernel = functools.partial(
+        _kernel, dp_pad=dp_pad, order=order, carry=carry is not None
+    )
     a12, px5, a11b = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -270,9 +298,10 @@ def a12_accumulate(
             jax.ShapeDtypeStruct((hw_pad, 8), jnp.float32),
             jax.ShapeDtypeStruct((dp_pad + 8, dp_pad), jnp.float32),
         ],
+        input_output_aliases=aliases,
         # run interpreted off-TPU so the same code path is testable on CPU
         interpret=jax.default_backend() != "tpu",
-    )(tile_of_chunk, payload_b)
+    )(*operands)
     return a12, px5, a11b
 
 

@@ -223,17 +223,15 @@ def linearize(knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv=Tru
     )
 
 
-def linearize_from_warp(
-    pmx, pmy, cp_idx, dpm_dcp, pm_prev, dpm_prev, i_p, has_prev, pol_signed,
-    Gx, Gy, cfg: ModelConfig, need_deriv=True,
-):
-    """Residual + Jacobian core given warped curr events and their PREV-event
-    data. The single-device path gathers prevs locally (``linearize``); the
-    sharded path supplies cross-shard prevs from a halo exchange
-    (``dist.py``) — the math (reference model.cpp:179-246) is identical.
-    """
-    dx = pmx - pm_prev[0]
-    dy = pmy - pm_prev[1]
+def _pair_residual(pmx, pmy, ppx, ppy, has_prev, pol_signed, gmaps, cfg):
+    """Pairing displacement + residual core (reference model.cpp:186-227),
+    shared verbatim between the full linearization and the streamed per-chunk
+    recompute so the two are bit-identical.
+
+    Returns (dx, dy, inlier, pm_pix, g_at, e); ``g_at`` is the stacked map
+    gather at pm_pix ((2|5, n) depending on the rows of ``gmaps``)."""
+    dx = pmx - ppx
+    dy = pmy - ppy
     dp_norm2 = dx * dx + dy * dy
     inlier = has_prev & (dp_norm2 <= cfg.outlier_dp_norm**2)
 
@@ -246,19 +244,39 @@ def linearize_from_warp(
     # One map gather for everything indexed by pm_pix: (Gx, Gy) and, in
     # derivative mode, the three second-order maps ride the SAME (5, HW)
     # stacked gather (one tile fetch per element instead of two).
-    if need_deriv:
-        gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
-        gmaps = jnp.stack(
-            [Gx.reshape(-1), Gy.reshape(-1), gxx_m.reshape(-1),
-             gxy_m.reshape(-1), gyy_m.reshape(-1)]
-        )  # (5, HW)
-    else:
-        gmaps = jnp.stack([Gx.reshape(-1), Gy.reshape(-1)])  # (2, HW)
-    g_at = jnp.take(gmaps, pm_pix, axis=1)  # one fused gather -> (2|5, N)
+    g_at = jnp.take(gmaps, pm_pix, axis=1)  # one fused gather -> (2|5, n)
     gx, gy = g_at[0], g_at[1]
     c_pred = gx * dx + gy * dy
     c_meas = pol_signed * cfg.c_th
     e = jnp.where(inlier, c_meas - c_pred, 0.0)
+    return dx, dy, inlier, pm_pix, g_at, e
+
+
+def _stacked_gmaps(Gx, Gy, need_deriv: bool):
+    """(2|5, HW) stacked map planes: values (+ second-order gradients when
+    linearizing) share one gather per event."""
+    if need_deriv:
+        gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
+        return jnp.stack(
+            [Gx.reshape(-1), Gy.reshape(-1), gxx_m.reshape(-1),
+             gxy_m.reshape(-1), gyy_m.reshape(-1)]
+        )
+    return jnp.stack([Gx.reshape(-1), Gy.reshape(-1)])
+
+
+def linearize_from_warp(
+    pmx, pmy, cp_idx, dpm_dcp, pm_prev, dpm_prev, i_p, has_prev, pol_signed,
+    Gx, Gy, cfg: ModelConfig, need_deriv=True,
+):
+    """Residual + Jacobian core given warped curr events and their PREV-event
+    data. The single-device path gathers prevs locally (``linearize``); the
+    sharded path supplies cross-shard prevs from a halo exchange
+    (``dist.py``) — the math (reference model.cpp:179-246) is identical.
+    """
+    gmaps = _stacked_gmaps(Gx, Gy, need_deriv)
+    dx, dy, inlier, pm_pix, g_at, e = _pair_residual(
+        pmx, pmy, pm_prev[0], pm_prev[1], has_prev, pol_signed, gmaps, cfg
+    )
 
     num_ev_map = jnp.zeros((cfg.num_pix,), jnp.int32).at[pm_pix].add(
         inlier.astype(jnp.int32), mode="drop"
@@ -282,6 +300,7 @@ def linearize_from_warp(
             i_p=i_p,
         )
 
+    gx, gy = g_at[0], g_at[1]
     gxx, gxy, gyy = g_at[2], g_at[3], g_at[4]
     # temp = Gpm + dp^T G2pm  (1x2; reference model.cpp:238)
     tx = gx + dx * gxx + dy * gxy
@@ -484,19 +503,23 @@ def _meas_weights(e, inlier, pm_pix, active, row_of_meas, r_pad, cfg, dt):
 
 
 def _pallas_accumulate(
-    row_of_meas, i_c, i_p, Jc, Jp, dx, dy, e, wA, we, r_pad, dim_pose, order
+    row_of_meas, i_c, i_p, Jc, Jp, dx, dy, e, wA, we, r_pad, dim_pose, order,
+    carry=None,
 ):
     """One Pallas sorted-accumulation pass (kernels/a12_accum.py) over a
-    measurement set; returns the kernel's raw (A12, px5, a11b) outputs so
-    streamed callers can sum them across chunks. All derived per-measurement
-    quantities (sqrt(w)-scaled Jacobians, the five per-pixel accumulants)
-    are built inside the kernel's prepass — only the raw linearization
-    enters (``we`` is unused; the kernel derives it from e and wA)."""
+    measurement set; returns the kernel's raw (A12, px5, a11b) outputs.
+    Streamed callers pass the previous chunk's outputs as ``carry`` — the
+    kernel accumulates INTO them in place (input_output_aliases), so
+    chaining costs no extra buffers. All derived per-measurement quantities
+    (sqrt(w)-scaled Jacobians, the five per-pixel accumulants) are built
+    inside the kernel's prepass — only the raw linearization enters (``we``
+    is unused; the kernel derives it from e and wA)."""
     del we
     from .kernels.a12_accum import a12_accumulate
 
     return a12_accumulate(
         row_of_meas, i_c, i_p, Jc, Jp, dx, dy, e, wA, r_pad, dim_pose, order,
+        carry=carry,
     )
 
 
@@ -622,20 +645,25 @@ def form_normal_eq_streamed(
 ) -> NormalEq:
     """Streamed normal-equation forming for reference-scale windows
     (10^7-10^8 events, SURVEY.md §6): identical math to
-    :func:`form_normal_eq`, but the per-event Jacobians are RECOMPUTED in
+    :func:`form_normal_eq`, but the WHOLE per-measurement linearization
+    (warp, pairing displacement, residual, Jacobians) is RECOMPUTED in
     chunks of ``cfg.stream_chunk`` events inside the accumulation loop
-    instead of being held (D, N)-resident. ``lin`` is a "light"
-    linearization (``linearize(..., need_deriv=False)``): only its
-    (N,)-sized fields (residual, pairing displacement, pixel index, segment
-    ids) are read — its Jc/Jp are empty.
+    instead of being held resident. ``lin`` is a "light" linearization
+    (``linearize(..., need_deriv=False)``): only its global activity map
+    ``num_ev_map`` (HW-sized, needed for the active-pixel row space) is
+    read — no O(N) field of it survives into this pass, so the only
+    event-sized residents are the window data itself plus ONE set of
+    accumulators (the Pallas producer chains chunks through aliased
+    in-place accumulation).
 
     Per chunk: gather the chunk's (and its prev events') bearings/batch ids,
-    re-run the warp Jacobian chain from the per-batch pose tables (computed
-    once), rebuild Jc/Jp (reference model.cpp:238-241, 449, 459), and
-    accumulate into the same Pallas / XLA producers. The extra work over the
-    classic path is one extra warp per measurement (the prev re-warp) —
-    cheap next to the accumulation GEMMs — in exchange for O(N) instead of
-    O(D*N) resident bytes.
+    re-run the warp + residual chain from the per-batch pose tables
+    (computed once; residual core shared bit-identically with
+    ``linearize_from_warp``), rebuild Jc/Jp (reference model.cpp:238-241,
+    449, 459), and accumulate into the same Pallas / XLA producers. The
+    extra work over the classic path is one extra warp per measurement (the
+    prev re-warp) — cheap next to the accumulation GEMMs — in exchange for
+    O(1) instead of O(D*N) resident bytes.
 
     ``prev_bearings`` (3, N) / ``prev_bids`` (N,) optionally supply each
     measurement's PREV-event bearing and batch id directly instead of the
@@ -657,27 +685,24 @@ def form_normal_eq_streamed(
     R_b, J_b = warp.spline_tables(knots, dev.batch_s, dev.batch_u, order, True)
     # One stacked (5, HW) map plane: values + second-order gradients share
     # each chunk's pm_pix gather (one tile fetch per element instead of two).
-    gxx_m, gxy_m, gyy_m = second_order_gradients(Gx, Gy)
-    gmaps = jnp.stack(
-        [Gx.reshape(-1), Gy.reshape(-1), gxx_m.reshape(-1),
-         gxy_m.reshape(-1), gyy_m.reshape(-1)]
-    )
+    gmaps = _stacked_gmaps(Gx, Gy, True)
 
     # Chunk inputs are CONTIGUOUS slices: pad every per-event array once to
     # a chunk multiple so the loop body runs plain dynamic_slices instead of
-    # clamped gathers (a real cost at 10^7-10^8 events). The prev-event
-    # bearings keep a random gather (prevs are scattered), but the prev
-    # batch id rides the same gather as a bitcast f32 row (4 rows = 1 tile).
+    # clamped gathers (a real cost at 10^7-10^8 events). The per-measurement
+    # residual/displacement/pixel quantities are NOT read from ``lin`` —
+    # they are recomputed per chunk from the re-warp (bit-identical: shared
+    # ``_pair_residual`` core), so forming holds NO O(N) linearization
+    # arrays beyond the window data itself. The prev-event bearings keep a
+    # random gather (prevs are scattered), but the prev batch id rides the
+    # same gather as a bitcast f32 row (4 rows = 1 tile).
     pad = n_chunks * sc - n
 
     def pad1(a, v=0):
         return jnp.pad(a, ((0, pad),), constant_values=v)
 
-    e_pd = pad1(lin.e)
-    inl_pd = pad1(lin.inlier, False)
-    pmp_pd = pad1(lin.pm_pix)
-    dx_pd, dy_pd = pad1(lin.dx), pad1(lin.dy)
-    ic_pd, ip_pd = pad1(lin.i_c), pad1(lin.i_p)
+    pol_pd = pad1(dev.pol_signed)
+    hp_pd = pad1(dev.has_prev, False)
     have_prev_src = prev_bearings is not None
     if have_prev_src:
         pb_pd = jnp.pad(prev_bearings, ((0, 0), (0, pad))).at[2, n:].set(1.0)
@@ -704,11 +729,8 @@ def form_normal_eq_streamed(
         def sl(a):
             return jax.lax.dynamic_slice_in_dim(a, c * sc, sc, axis=-1)
 
-        e_c, inl_c, pmp_c = sl(e_pd), sl(inl_pd), sl(pmp_pd)
-        dx_c, dy_c = sl(dx_pd), sl(dy_pd)
-        ic_c, ip_c = sl(ic_pd), sl(ip_pd)
-        # recompute the chunk Jacobians: curr warp + prev re-warp
-        _, _, dpm_c = warp.warp_from_tables(
+        # recompute the chunk linearization: curr warp + prev re-warp
+        pm_c, ic_c, dpm_c = warp.warp_from_tables(
             R_b, J_b, dev.batch_s, sl(bid_pd), sl(bear_pd).astype(dt),
             cfg.pano, order, True,
         )
@@ -724,10 +746,14 @@ def form_normal_eq_streamed(
             prev_c = sl(prev_pd)
             bid_p = jnp.take(dev.batch_ids, prev_c)
             b_p = jnp.take(dev.bearings, prev_c, axis=1)
-        _, _, dpm_p = warp.warp_from_tables(
+        pm_p, ip_c, dpm_p = warp.warp_from_tables(
             R_b, J_b, dev.batch_s, bid_p, b_p, cfg.pano, order, True,
         )
-        g_at = jnp.take(gmaps, pmp_c, axis=1)  # (5, sc), one gather
+        # residual core shared with linearize_from_warp (bit-identical)
+        dx_c, dy_c, inl_c, pmp_c, g_at, e_c = _pair_residual(
+            pm_c[0], pm_c[1], pm_p[0], pm_p[1], sl(hp_pd), sl(pol_pd),
+            gmaps, cfg,
+        )
         gx_c, gy_c = g_at[0], g_at[1]
         # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
         tx = gx_c + dx_c * g_at[2] + dy_c * g_at[3]
@@ -746,11 +772,13 @@ def form_normal_eq_streamed(
             a12, px5, a11b, dropped = carry
             (wA_c, we_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, row_c, e_c,
              drop_c) = chunk_pieces(c)
-            a12c, px5c, a11bc = _pallas_accumulate(
+            # chain through the kernel's aliased in-place accumulation: ONE
+            # accumulator set total, no per-chunk full-size output + add
+            a12, px5, a11b = _pallas_accumulate(
                 row_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c, e_c, wA_c, we_c,
-                r_pad, dim_pose, order,
+                r_pad, dim_pose, order, carry=(a12, px5, a11b),
             )
-            return (a12 + a12c, px5 + px5c, a11b + a11bc, dropped + drop_c)
+            return (a12, px5, a11b, dropped + drop_c)
 
         init = (
             jnp.zeros((r_pad, 2 * dp_pad), jnp.float32),
