@@ -114,6 +114,34 @@ def test_kernel_nan_bit_pattern_indices():
     np.testing.assert_allclose(np.asarray(a12), ref_a12, atol=2e-3)
 
 
+def test_kernel_carry_chains_in_place():
+    """Chained calls through the aliased ``carry`` (the streamed-forming
+    accumulation path) must equal one call over the concatenated
+    measurement set."""
+    rng = np.random.default_rng(5)
+    hw, knots = 2048, 10
+    dim_pose = 3 * knots
+    args_a = make_inputs(rng, 1500, hw, knots, "uniform")
+    args_b = make_inputs(rng, 700, hw, knots, "two_extremes")
+    out = K.a12_accumulate(
+        *(jnp.asarray(a) for a in args_a), num_pix=hw, dim_pose=dim_pose,
+        order=2,
+    )
+    out = K.a12_accumulate(
+        *(jnp.asarray(a) for a in args_b), num_pix=hw, dim_pose=dim_pose,
+        order=2, carry=out,
+    )
+    cat = [np.concatenate([a, b], axis=-1) for a, b in zip(args_a, args_b)]
+    ref = K.a12_accumulate(
+        *(jnp.asarray(a) for a in cat), num_pix=hw, dim_pose=dim_pose,
+        order=2,
+    )
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3
+        )
+
+
 def test_kernel_rejects_too_many_knots():
     rng = np.random.default_rng(4)
     args = make_inputs(rng, 16, 1024, 8, "uniform")
