@@ -160,12 +160,17 @@ def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first:
     Returns step(knots, Gx, Gy, dev_win, lam) ->
       (knots_new, Gx_new, Gy_new, cost_new, lin_new-cost-pieces).
 
-    The Pallas A12 kernel is single-device; the sharded step always uses the
-    XLA path (GSPMD partitions it automatically).
+    The Pallas A12 kernel is a single-device program that GSPMD cannot
+    auto-partition, so THIS builder always uses the XLA scatter path; the
+    production multi-chip path (``make_solve_window_sharded``) runs the
+    kernel shard-locally under ``shard_map``. Active-pixel compaction
+    (``cfg.compact_cap``) is honored: the compact row space is a global
+    cumsum over the psum'd activity map, which GSPMD partitions like any
+    other op (equivalence: ``tests/test_dist.py``).
     """
     import dataclasses as _dc
 
-    cfg = _dc.replace(cfg, use_pallas=False, compact_cap=None)
+    cfg = _dc.replace(cfg, use_pallas=False)
 
     @partial(jax.jit, static_argnames=())
     def step(knots, Gx, Gy, dev_win: M.DeviceWindow, lam):

@@ -68,6 +68,37 @@ def test_sharded_step_matches_single(problem, mesh_shape):
     np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-10)
 
 
+def test_sharded_step_compact_matches(problem):
+    """Active-pixel compaction composes with the GSPMD step (the compact row
+    space is a global cumsum over the psum'd activity map): the compact
+    sharded step equals the non-compact sharded step."""
+    import dataclasses as dc
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    lam = jnp.asarray(1e-3, jnp.float64)
+
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    args = (
+        dist.replicate(mesh, knots), dist.replicate(mesh, Gx),
+        dist.replicate(mesh, Gy), dist.shard_window(dev, mesh), lam,
+    )
+    step = dist.make_sharded_step(mesh, cfg, scene.traj.num_knots, True)
+    k0, gx0, gy0, co0, cn0 = step(*args)
+
+    cfg_c = dc.replace(cfg, compact_cap=512)  # > active count
+    step_c = dist.make_sharded_step(mesh, cfg_c, scene.traj.num_knots, True)
+    kc, gxc, gyc, coc, cnc = step_c(*args)
+
+    np.testing.assert_allclose(float(coc), float(co0), rtol=1e-12)
+    np.testing.assert_allclose(float(cnc), float(cn0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(kc), np.asarray(k0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gxc), np.asarray(gx0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gyc), np.asarray(gy0), atol=1e-10)
+
+
 def test_pad_window_masks_tail(problem):
     scene, cfg, dev = problem
     padded = dist.pad_window(dev, 7)
