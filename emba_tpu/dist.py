@@ -585,8 +585,8 @@ def make_solve_window_sharded(
             chunked over all devices."""
             if streamed:
                 neq = M.form_normal_eq_streamed(
-                    lin, knots_, gx_, gy_, local_dev, cfg, num_knots,
-                    reg_scale, prev_bearings=prev_src[0],
+                    lin.num_ev_map, knots_, gx_, gy_, local_dev, cfg,
+                    num_knots, reg_scale, prev_bearings=prev_src[0],
                     prev_bids=prev_src[1],
                 )
             else:

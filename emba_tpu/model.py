@@ -638,64 +638,42 @@ def _xla_accumulate(
     return carry
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_knots"))
-def form_normal_eq_streamed(
-    lin: Linearization, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
-    num_knots: int, reg_scale=None, prev_bearings=None, prev_bids=None,
-) -> NormalEq:
-    """Streamed normal-equation forming for reference-scale windows
-    (10^7-10^8 events, SURVEY.md §6): identical math to
-    :func:`form_normal_eq`, but the WHOLE per-measurement linearization
-    (warp, pairing displacement, residual, Jacobians) is RECOMPUTED in
-    chunks of ``cfg.stream_chunk`` events inside the accumulation loop
-    instead of being held resident. ``lin`` is a "light" linearization
-    (``linearize(..., need_deriv=False)``): only its global activity map
-    ``num_ev_map`` (HW-sized, needed for the active-pixel row space) is
-    read — no O(N) field of it survives into this pass, so the only
-    event-sized residents are the window data itself plus ONE set of
-    accumulators (the Pallas producer chains chunks through aliased
-    in-place accumulation).
-
-    Per chunk: gather the chunk's (and its prev events') bearings/batch ids,
-    re-run the warp + residual chain from the per-batch pose tables
-    (computed once; residual core shared bit-identically with
-    ``linearize_from_warp``), rebuild Jc/Jp (reference model.cpp:238-241,
-    449, 459), and accumulate into the same Pallas / XLA producers. The
-    extra work over the classic path is one extra warp per measurement (the
-    prev re-warp) — cheap next to the accumulation GEMMs — in exchange for
-    O(1) instead of O(D*N) resident bytes.
+def _make_stream_chunk_fn(
+    knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, need_deriv: bool,
+    prev_bearings=None, prev_bids=None,
+):
+    """Shared chunk-recompute core of the streamed passes: pads the window
+    to a chunk multiple, builds the per-batch pose tables once, and returns
+    ``(n, n_chunks, pieces)`` where ``pieces(c)`` re-runs warp + pairing +
+    residual (+ Jacobians when ``need_deriv``) for chunk ``c`` from scratch
+    — bit-identical to :func:`linearize_from_warp` via the shared
+    ``_pair_residual`` core, holding no O(N) linearization arrays.
 
     ``prev_bearings`` (3, N) / ``prev_bids`` (N,) optionally supply each
     measurement's PREV-event bearing and batch id directly instead of the
     ``dev.prev_idx`` gather — the sharded window resolves cross-shard prevs
     through its halo exchange once (they are state-independent) and passes
-    them here, so streamed forming composes with event sharding.
+    them here, so the streamed passes compose with event sharding.
     """
-    dt = lin.e.dtype
+    dt = Gx.dtype
     order = cfg.spline_order
-    dim_pose = 3 * num_knots
-    dp_pad = _round_up(dim_pose, 128)
     sc = cfg.stream_chunk
-    n = lin.e.shape[0]
+    n = dev.pol_signed.shape[0]
     n_chunks = -(-n // sc)
 
-    active, r_pad, pix2row, row_active = _row_space(lin.num_ev_map, cfg)
-
     # per-batch pose tables once (NB-sized), reused by every chunk
-    R_b, J_b = warp.spline_tables(knots, dev.batch_s, dev.batch_u, order, True)
-    # One stacked (5, HW) map plane: values + second-order gradients share
-    # each chunk's pm_pix gather (one tile fetch per element instead of two).
-    gmaps = _stacked_gmaps(Gx, Gy, True)
+    R_b, J_b = warp.spline_tables(knots, dev.batch_s, dev.batch_u, order,
+                                  need_deriv)
+    # One stacked (2|5, HW) map plane: values (+ second-order gradients when
+    # linearizing) share each chunk's pm_pix gather (one tile fetch per
+    # element instead of two).
+    gmaps = _stacked_gmaps(Gx, Gy, need_deriv)
 
     # Chunk inputs are CONTIGUOUS slices: pad every per-event array once to
     # a chunk multiple so the loop body runs plain dynamic_slices instead of
-    # clamped gathers (a real cost at 10^7-10^8 events). The per-measurement
-    # residual/displacement/pixel quantities are NOT read from ``lin`` —
-    # they are recomputed per chunk from the re-warp (bit-identical: shared
-    # ``_pair_residual`` core), so forming holds NO O(N) linearization
-    # arrays beyond the window data itself. The prev-event bearings keep a
-    # random gather (prevs are scattered), but the prev batch id rides the
-    # same gather as a bitcast f32 row (4 rows = 1 tile).
+    # clamped gathers (a real cost at 10^7-10^8 events). The prev-event
+    # bearings keep a random gather (prevs are scattered), but the prev
+    # batch id rides the same gather as a bitcast f32 row (4 rows = 1 tile).
     pad = n_chunks * sc - n
 
     def pad1(a, v=0):
@@ -725,14 +703,14 @@ def form_normal_eq_streamed(
             axis=0,
         )  # (4, N)
 
-    def chunk_pieces(c):
+    def pieces(c):
         def sl(a):
             return jax.lax.dynamic_slice_in_dim(a, c * sc, sc, axis=-1)
 
         # recompute the chunk linearization: curr warp + prev re-warp
         pm_c, ic_c, dpm_c = warp.warp_from_tables(
             R_b, J_b, dev.batch_s, sl(bid_pd), sl(bear_pd).astype(dt),
-            cfg.pano, order, True,
+            cfg.pano, order, need_deriv,
         )
         if have_prev_src:  # pre-resolved prevs (sharded path): contiguous
             b_p = sl(pb_pd).astype(dt)
@@ -747,19 +725,92 @@ def form_normal_eq_streamed(
             bid_p = jnp.take(dev.batch_ids, prev_c)
             b_p = jnp.take(dev.bearings, prev_c, axis=1)
         pm_p, ip_c, dpm_p = warp.warp_from_tables(
-            R_b, J_b, dev.batch_s, bid_p, b_p, cfg.pano, order, True,
+            R_b, J_b, dev.batch_s, bid_p, b_p, cfg.pano, order, need_deriv,
         )
         # residual core shared with linearize_from_warp (bit-identical)
         dx_c, dy_c, inl_c, pmp_c, g_at, e_c = _pair_residual(
             pm_c[0], pm_c[1], pm_p[0], pm_p[1], sl(hp_pd), sl(pol_pd),
             gmaps, cfg,
         )
+        if not need_deriv:
+            return e_c, inl_c, pmp_c
         gx_c, gy_c = g_at[0], g_at[1]
         # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
         tx = gx_c + dx_c * g_at[2] + dy_c * g_at[3]
         ty = gy_c + dx_c * g_at[3] + dy_c * g_at[4]
         Jc_c = tx[None, :] * dpm_c[0] + ty[None, :] * dpm_c[1]
         Jp_c = -(gx_c[None, :] * dpm_p[0] + gy_c[None, :] * dpm_p[1])
+        return e_c, inl_c, pmp_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c
+
+    return n, n_chunks, pieces
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cost_and_activity_streamed(
+    knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    prev_bearings=None, prev_bids=None,
+):
+    """Chunk-streamed objective evaluation (reference
+    ``LEGM::evaluateDataError`` + the cost sum, model.cpp:72-258, 279-314):
+    returns ``(cost_data, num_ev_map)`` without materializing ANY O(N)
+    linearization array — the streamed counterpart of
+    ``linearize(..., need_deriv=False)`` + ``data_cost``. Together with
+    :func:`form_normal_eq_streamed` this makes the whole LM iteration O(N)
+    only in the window data itself (10^7-10^8-event windows, SURVEY.md §6).
+    """
+    dt = Gx.dtype
+    _, n_chunks, pieces = _make_stream_chunk_fn(
+        knots, Gx, Gy, dev, cfg, False, prev_bearings, prev_bids
+    )
+
+    def body(c, carry):
+        cost, nem = carry
+        e_c, inl_c, pmp_c = pieces(c)
+        nem = nem.at[pmp_c].add(inl_c.astype(jnp.int32), mode="drop")
+        return cost + data_cost(e_c, cfg), nem
+
+    init = (jnp.zeros((), dt), jnp.zeros((cfg.num_pix,), jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_knots"))
+def form_normal_eq_streamed(
+    num_ev_map, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    num_knots: int, reg_scale=None, prev_bearings=None, prev_bids=None,
+) -> NormalEq:
+    """Streamed normal-equation forming for reference-scale windows
+    (10^7-10^8 events, SURVEY.md §6): identical math to
+    :func:`form_normal_eq`, but the WHOLE per-measurement linearization
+    (warp, pairing displacement, residual, Jacobians) is RECOMPUTED in
+    chunks of ``cfg.stream_chunk`` events inside the accumulation loop
+    instead of being held resident. ``num_ev_map`` is the (HW,) global
+    inlier-count map of the state being formed (from
+    :func:`cost_and_activity_streamed`, or ``Linearization.num_ev_map``) —
+    the only input beyond the window data itself, so the only event-sized
+    residents are the window plus ONE set of accumulators (the Pallas
+    producer chains chunks through aliased in-place accumulation).
+
+    Per chunk: gather the chunk's (and its prev events') bearings/batch ids,
+    re-run the warp + residual chain from the per-batch pose tables
+    (computed once; residual core shared bit-identically with
+    ``linearize_from_warp``), rebuild Jc/Jp (reference model.cpp:238-241,
+    449, 459), and accumulate into the same Pallas / XLA producers. The
+    extra work over the classic path is one extra warp per measurement (the
+    prev re-warp) — cheap next to the accumulation GEMMs — in exchange for
+    O(1) instead of O(D*N) resident bytes.
+    """
+    dt = Gx.dtype
+    order = cfg.spline_order
+    dim_pose = 3 * num_knots
+    dp_pad = _round_up(dim_pose, 128)
+
+    active, r_pad, pix2row, row_active = _row_space(num_ev_map, cfg)
+    _, n_chunks, pieces = _make_stream_chunk_fn(
+        knots, Gx, Gy, dev, cfg, True, prev_bearings, prev_bids
+    )
+
+    def chunk_pieces(c):
+        e_c, inl_c, pmp_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c = pieces(c)
         row_c = pmp_c if cfg.compact_cap is None else pix2row[pmp_c]
         wA_c, we_c, drop_c = _meas_weights(
             e_c, inl_c, pmp_c, active, row_c, r_pad, cfg, dt

@@ -114,11 +114,18 @@ class LMStats:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _init_costs(knots, Gx, Gy, dev, cfg):
-    """Linearization + cost (solver.cpp:71-92), one jitted call. In streamed
-    mode the linearization is "light" (no resident Jacobians — the streamed
-    forming pass recomputes them chunk-wise)."""
-    lin = M.linearize(knots, Gx, Gy, dev, cfg, cfg.stream_chunk is None)
+    """Linearization + cost (solver.cpp:71-92), one jitted call."""
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
     return lin, M.data_cost(lin.e, cfg), M.reg_cost(Gx, Gy, cfg.alpha)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _init_costs_streamed(knots, Gx, Gy, dev, cfg):
+    """Streamed objective (solver.cpp:71-92): cost + the (HW,) activity map,
+    chunk-recomputed — NO O(N) linearization output survives the call (the
+    streamed forming pass recomputes Jacobians chunk-wise too)."""
+    cost_data, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg)
+    return nem, cost_data, M.reg_cost(Gx, Gy, cfg.alpha)
 
 
 @partial(jax.jit, static_argnames=("fix_first", "use_cg"))
@@ -173,9 +180,14 @@ def solve_window(
     cost_decreased = True
     it = 0
 
+    # streamed mode: ``lin`` holds just the (HW,) activity map — the
+    # objective and forming passes recompute everything else chunk-wise
+    streamed = cfg.stream_chunk is not None
+    init_fn = _init_costs_streamed if streamed else _init_costs
+
     t_loop0 = time.perf_counter()
     t0 = t_loop0
-    lin, cost_data_j, cost_reg_j = _init_costs(knots, Gx, Gy, dev_win, cfg)
+    lin, cost_data_j, cost_reg_j = init_fn(knots, Gx, Gy, dev_win, cfg)
     cost_data, cost_reg = float(cost_data_j), float(cost_reg_j)
     stats.time_objective_s += time.perf_counter() - t0
     stats.count_objective += 1
@@ -189,7 +201,7 @@ def solve_window(
     ):
         if cost_decreased:
             t0 = time.perf_counter()
-            if cfg.stream_chunk is not None:
+            if streamed:
                 neq = M.form_normal_eq_streamed(
                     lin, knots, Gx, Gy, dev_win, cfg, num_knots
                 )
@@ -218,7 +230,7 @@ def solve_window(
         stats.count_solve += 1
 
         # Phase: objective (trial relinearize + costs; reused on accept).
-        lin_new, cost_data_new_j, cost_reg_new_j = _init_costs(
+        lin_new, cost_data_new_j, cost_reg_new_j = init_fn(
             knots_new, gx_new, gy_new, dev_win, cfg
         )
         cost_data_new = float(cost_data_new_j)
@@ -300,16 +312,27 @@ def solve_window_fused(
     num_knots = knots.shape[0]
     streamed = cfg.stream_chunk is not None
 
-    def _form(lin_, knots_, gx_, gy_):
+    def _objective(knots_, gx_, gy_):
+        """Cost + forming input: ``(cost, act)`` where ``act`` is the (HW,)
+        activity map in streamed mode (chunk-recomputed — NO O(N) output
+        survives the objective) or the full Linearization otherwise."""
+        if streamed:
+            cd, nem = M.cost_and_activity_streamed(
+                knots_, gx_, gy_, dev_win, cfg
+            )
+            return cd + M.reg_cost(gx_, gy_, cfg.alpha), nem
+        lin = M.linearize(knots_, gx_, gy_, dev_win, cfg, True)
+        return M.data_cost(lin.e, cfg) + M.reg_cost(gx_, gy_, cfg.alpha), lin
+
+    def _form(act_, knots_, gx_, gy_):
         if streamed:
             return M.form_normal_eq_streamed(
-                lin_, knots_, gx_, gy_, dev_win, cfg, num_knots
+                act_, knots_, gx_, gy_, dev_win, cfg, num_knots
             )
-        return M.form_normal_eq(lin_, gx_, gy_, cfg, num_knots)
+        return M.form_normal_eq(act_, gx_, gy_, cfg, num_knots)
 
-    lin0 = M.linearize(knots, Gx, Gy, dev_win, cfg, not streamed)
-    cost0 = M.data_cost(lin0.e, cfg) + M.reg_cost(Gx, Gy, cfg.alpha)
-    neq0 = _form(lin0, knots, Gx, Gy)
+    cost0, act0 = _objective(knots, Gx, Gy)
+    neq0 = _form(act0, knots, Gx, Gy)
 
     def lm_iter(state):
         (knots, Gx, Gy, neq, lam, cost_min, count_tol, it, converged) = state
@@ -320,12 +343,7 @@ def solve_window_fused(
             x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
         knots_new = M.update_knots(knots, x1, fix_first)
         gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
-        lin_new = M.linearize(
-            knots_new, gx_new, gy_new, dev_win, cfg, not streamed
-        )
-        cost_new = M.data_cost(lin_new.e, cfg) + M.reg_cost(
-            gx_new, gy_new, cfg.alpha
-        )
+        cost_new, act_new = _objective(knots_new, gx_new, gy_new)
 
         accept = cost_new < cost_min
         # accept: take trial state, relinearized normal eq, lam /= 10
@@ -335,7 +353,7 @@ def solve_window_fused(
         # (D, N) where-merge per iteration for data nothing reads.
         neq_new = jax.lax.cond(
             accept,
-            lambda: _form(lin_new, knots_new, gx_new, gy_new),
+            lambda: _form(act_new, knots_new, gx_new, gy_new),
             lambda: neq,
         )
         knots = jnp.where(accept, knots_new, knots)

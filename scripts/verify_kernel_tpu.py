@@ -150,16 +150,29 @@ def main():
 
     # streamed producer (Pallas, chunked Jacobian recompute)
     cfg_s = dataclasses.replace(cfg_p, stream_chunk=1 << 21)
-    light = M.linearize(knots, Gx, Gy, dev, cfg_s, False)
+    _, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg_s)
 
     def run_s():
         t0 = time.perf_counter()
-        neq = M.form_normal_eq_streamed(light, knots, Gx, Gy, dev, cfg_s, nk)
+        neq = M.form_normal_eq_streamed(nem, knots, Gx, Gy, dev, cfg_s, nk)
         _ = float(neq.dropped)
         return neq, time.perf_counter() - t0
 
     run_s()
     neq_s, t_s = run_s()
+
+    # Fetch ALL device results to host NOW, before the long CPU-subprocess
+    # phase: the axon tunnel has been observed to wedge (spin forever) on
+    # device fetches issued after minutes of idle — don't hold live device
+    # handles across the reference computation.
+    producers = {
+        "xla_f32": _blocks(neq_x),
+        "pallas_f32": _blocks(neq_p),
+        "pallas_streamed_f32": _blocks(neq_s),
+    }
+    lin_host = {k: np.asarray(getattr(lin, k)) for k in LIN_FIELDS}
+    print("# device results fetched; computing f64 reference...",
+          file=sys.stderr)
 
     # ---- f64 accumulation reference of the SAME f32 linearization ---------
     lin_path = os.path.join(REPO, ".cache", f"kernel_parity_lin_n{n}.npz")
@@ -169,27 +182,24 @@ def main():
     }
     np.savez_compressed(
         lin_path,
-        **{k: np.asarray(getattr(lin, k)) for k in LIN_FIELDS},
+        **lin_host,
         Gx=np.asarray(Gx), Gy=np.asarray(Gy), num_knots=nk,
         cfg_json=json.dumps(cfg_kw),
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
-    print("# computing f64 accumulation reference (CPU)...", file=sys.stderr)
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--accum-ref",
-         lin_path, ref_path],
-        env=env, check=True, timeout=3600,
-    )
+    # The problem build is deterministic (fixed seeds), so a cached reference
+    # is valid across runs; delete .cache/kernel_parity_accumref_*.npz to
+    # force a recompute.
+    if not os.path.exists(ref_path):
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--accum-ref",
+             lin_path, ref_path],
+            env=env, check=True, timeout=3600,
+        )
     z = np.load(ref_path)
     ref = {k: z[k] for k in z.files}
-
-    producers = {
-        "xla_f32": _blocks(neq_x),
-        "pallas_f32": _blocks(neq_p),
-        "pallas_streamed_f32": _blocks(neq_s),
-    }
     errors = {
         name: {k: _norm_err(bl[k], ref[k]) for k in BLOCK_NAMES}
         for name, bl in producers.items()

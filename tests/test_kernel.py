@@ -185,10 +185,10 @@ def test_streamed_pallas_matches_streamed_xla():
     Gy = jnp.asarray(scene.gy, jnp.float32)
     nk = scene.traj.num_knots
 
-    light = M.linearize(knots, Gx, Gy, dev, cfg, False)
-    neq_x = M.form_normal_eq_streamed(light, knots, Gx, Gy, dev, cfg, nk)
+    _, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg)
+    neq_x = M.form_normal_eq_streamed(nem, knots, Gx, Gy, dev, cfg, nk)
     cfg_p = dc.replace(cfg, use_pallas=True)
-    neq_p = M.form_normal_eq_streamed(light, knots, Gx, Gy, dev, cfg_p, nk)
+    neq_p = M.form_normal_eq_streamed(nem, knots, Gx, Gy, dev, cfg_p, nk)
     np.testing.assert_allclose(
         np.asarray(neq_p.A11), np.asarray(neq_x.A11), rtol=2e-5, atol=2e-4
     )

@@ -399,9 +399,16 @@ def test_streamed_form_matches_classic(scene):
 
     for sc in (977, 4096):
         cfg_s = dc.replace(cfg, stream_chunk=sc)
-        light = M.linearize(knots, Gx, Gy, dev, cfg_s, False)
-        assert light.Jc.shape[1] == 0  # truly light
-        neq1 = M.form_normal_eq_streamed(light, knots, Gx, Gy, dev, cfg_s, nk)
+        # streamed objective: cost + activity map match the classic pass
+        cost_s, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg_s)
+        np.testing.assert_allclose(
+            float(cost_s), float(M.data_cost(lin.e, cfg)), rtol=1e-12,
+            err_msg=f"streamed cost sc={sc}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(nem), np.asarray(lin.num_ev_map)
+        )
+        neq1 = M.form_normal_eq_streamed(nem, knots, Gx, Gy, dev, cfg_s, nk)
         np.testing.assert_allclose(
             np.asarray(neq1.A11), np.asarray(neq0.A11), atol=1e-9, rtol=1e-9,
             err_msg=f"A11 sc={sc}",
@@ -425,8 +432,8 @@ def test_streamed_form_matches_classic(scene):
     # streamed + compaction compose
     n_active = int(neq0.active.sum())
     cfg_sc = dc.replace(cfg, stream_chunk=977, compact_cap=n_active + 11)
-    light = M.linearize(knots, Gx, Gy, dev, cfg_sc, False)
-    neq2 = M.form_normal_eq_streamed(light, knots, Gx, Gy, dev, cfg_sc, nk)
+    _, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg_sc)
+    neq2 = M.form_normal_eq_streamed(nem, knots, Gx, Gy, dev, cfg_sc, nk)
     x1a, _ = M.solve_normal_eq(neq0, jnp.asarray(1e-3), True)
     x1b, _ = M.solve_normal_eq(neq2, jnp.asarray(1e-3), True)
     np.testing.assert_allclose(np.asarray(x1b), np.asarray(x1a), atol=1e-10)
