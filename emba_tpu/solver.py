@@ -120,11 +120,14 @@ def _init_costs(knots, Gx, Gy, dev, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _init_costs_streamed(knots, Gx, Gy, dev, cfg):
+def _init_costs_streamed(knots, Gx, Gy, dev, cfg, pb, pbid):
     """Streamed objective (solver.cpp:71-92): cost + the (HW,) activity map,
     chunk-recomputed — NO O(N) linearization output survives the call (the
-    streamed forming pass recomputes Jacobians chunk-wise too)."""
-    cost_data, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg)
+    streamed forming pass recomputes Jacobians chunk-wise too). ``pb``/
+    ``pbid`` are the once-per-window prev records (:func:`model.prev_records`)."""
+    cost_data, nem = M.cost_and_activity_streamed(
+        knots, Gx, Gy, dev, cfg, prev_bearings=pb, prev_bids=pbid
+    )
     return nem, cost_data, M.reg_cost(Gx, Gy, cfg.alpha)
 
 
@@ -181,9 +184,16 @@ def solve_window(
     it = 0
 
     # streamed mode: ``lin`` holds just the (HW,) activity map — the
-    # objective and forming passes recompute everything else chunk-wise
+    # objective and forming passes recompute everything else chunk-wise;
+    # the prev-record gather happens once per window, not once per pass
     streamed = cfg.stream_chunk is not None
-    init_fn = _init_costs_streamed if streamed else _init_costs
+    if streamed:
+        pb, pbid = M.prev_records(dev_win)
+
+        def init_fn(k_, gx_, gy_, dev_, cfg_):
+            return _init_costs_streamed(k_, gx_, gy_, dev_, cfg_, pb, pbid)
+    else:
+        init_fn = _init_costs
 
     t_loop0 = time.perf_counter()
     t0 = t_loop0
@@ -203,7 +213,8 @@ def solve_window(
             t0 = time.perf_counter()
             if streamed:
                 neq = M.form_normal_eq_streamed(
-                    lin, knots, Gx, Gy, dev_win, cfg, num_knots
+                    lin, knots, Gx, Gy, dev_win, cfg, num_knots,
+                    prev_bearings=pb, prev_bids=pbid,
                 )
             else:
                 neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
@@ -311,6 +322,9 @@ def solve_window_fused(
     dt = Gx.dtype
     num_knots = knots.shape[0]
     streamed = cfg.stream_chunk is not None
+    # prev records are state-independent: gather once, hoisted above the LM
+    # while_loop (the streamed passes then slice them contiguously per chunk)
+    pb, pbid = M.prev_records(dev_win) if streamed else (None, None)
 
     def _objective(knots_, gx_, gy_):
         """Cost + forming input: ``(cost, act)`` where ``act`` is the (HW,)
@@ -318,7 +332,8 @@ def solve_window_fused(
         survives the objective) or the full Linearization otherwise."""
         if streamed:
             cd, nem = M.cost_and_activity_streamed(
-                knots_, gx_, gy_, dev_win, cfg
+                knots_, gx_, gy_, dev_win, cfg,
+                prev_bearings=pb, prev_bids=pbid,
             )
             return cd + M.reg_cost(gx_, gy_, cfg.alpha), nem
         lin = M.linearize(knots_, gx_, gy_, dev_win, cfg, True)
@@ -327,7 +342,8 @@ def solve_window_fused(
     def _form(act_, knots_, gx_, gy_):
         if streamed:
             return M.form_normal_eq_streamed(
-                act_, knots_, gx_, gy_, dev_win, cfg, num_knots
+                act_, knots_, gx_, gy_, dev_win, cfg, num_knots,
+                prev_bearings=pb, prev_bids=pbid,
             )
         return M.form_normal_eq(act_, gx_, gy_, cfg, num_knots)
 
