@@ -146,7 +146,8 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         int(data["sensor_width"]), traj0.locate, 100,
     )
     dev = model.DeviceWindow.from_window(
-        win, data["bearing_lut"], int(data["sensor_width"]), dtype
+        win, data["bearing_lut"], int(data["sensor_width"]), dtype,
+        pad_multiple=cfg.stream_chunk or 1,
     )
     Gx = jnp.asarray(data["gx"], dtype)
     Gy = jnp.asarray(data["gy"], dtype)

@@ -148,18 +148,44 @@ class DeviceWindow:
     sensor_pix: jax.Array | None = None
 
     @classmethod
-    def from_window(cls, win, bearing_lut: np.ndarray, sensor_width: int, dtype):
+    def from_window(cls, win, bearing_lut: np.ndarray, sensor_width: int,
+                    dtype, pad_multiple: int = 1):
+        """``pad_multiple``: pre-pad the per-event arrays to a multiple of
+        this length (set it to ``cfg.stream_chunk`` for streamed windows).
+        Padding slots are valid non-measurements — unit z bearing (a zero
+        bearing would warp to NaN), ``has_prev=False`` so they are inliers
+        nowhere — letting the streamed passes slice chunks with ZERO padded
+        copies at trace time (see ``_make_stream_chunk_fn``)."""
         spix = win.sensor_flat_idx(sensor_width)
-        b = bearing_lut[spix]
+        n = len(spix)
+        pad = -(-n // pad_multiple) * pad_multiple - n
+
+        def pad1(a, v=0):
+            if pad == 0:
+                return a
+            return np.concatenate([a, np.full(pad, v, a.dtype)])
+
+        b = np.ascontiguousarray(bearing_lut[spix].T)
+        if pad:
+            b = np.concatenate(
+                [b, np.tile(np.array([[0.0], [0.0], [1.0]], b.dtype), pad)],
+                axis=1,
+            )
         return cls(
-            bearings=jnp.asarray(np.ascontiguousarray(b.T), dtype),
-            pol_signed=jnp.asarray(2.0 * (win.pol.astype(np.float64) - 0.5), dtype),
-            prev_idx=jnp.asarray(np.maximum(win.prev_idx, 0), jnp.int32),
-            has_prev=jnp.asarray(win.prev_idx >= 0),
-            batch_ids=jnp.asarray(win.batch_ids(), jnp.int32),
+            bearings=jnp.asarray(b, dtype),
+            pol_signed=jnp.asarray(
+                pad1(2.0 * (win.pol.astype(np.float64) - 0.5)), dtype
+            ),
+            prev_idx=jnp.asarray(
+                pad1(np.maximum(win.prev_idx, 0).astype(np.int32)), jnp.int32
+            ),
+            has_prev=jnp.asarray(pad1(win.prev_idx >= 0, False)),
+            batch_ids=jnp.asarray(
+                pad1(win.batch_ids().astype(np.int32)), jnp.int32
+            ),
             batch_s=jnp.asarray(win.batch_s, jnp.int32),
             batch_u=jnp.asarray(win.batch_u, dtype),
-            sensor_pix=jnp.asarray(spix, jnp.int32),
+            sensor_pix=jnp.asarray(pad1(spix.astype(np.int32)), jnp.int32),
         )
 
 
@@ -692,21 +718,36 @@ def _make_stream_chunk_fn(
     # batch id rides the same gather as a bitcast f32 row (4 rows = 1 tile).
     pad = n_chunks * sc - n
 
+    # ``pad`` is static: when the window was built pre-padded to a chunk
+    # multiple (DeviceWindow.from_window(..., pad_multiple=stream_chunk)),
+    # every branch below is an alias and the program holds NO padded copies
+    # — at 64M events the pad copies alone were ~2 GB of while-loop-resident
+    # temps, a real bite out of the single-chip HBM budget.
     def pad1(a, v=0):
+        if pad == 0:
+            return a
         return jnp.pad(a, ((0, pad),), constant_values=v)
 
     pol_pd = pad1(dev.pol_signed)
     hp_pd = pad1(dev.has_prev, False)
     have_prev_src = prev_bearings is not None
     if have_prev_src:
-        pb_pd = jnp.pad(prev_bearings, ((0, 0), (0, pad))).at[2, n:].set(1.0)
-        pbid_pd = pad1(prev_bids)
+        if pad == 0:
+            pb_pd, pbid_pd = prev_bearings, prev_bids
+        else:
+            pb_pd = jnp.pad(
+                prev_bearings, ((0, 0), (0, pad))
+            ).at[2, n:].set(1.0)
+            pbid_pd = pad1(prev_bids)
     else:
         prev_pd = pad1(dev.prev_idx)
     bid_pd = pad1(dev.batch_ids)
     # pad with a unit bearing (z=1): an all-zero bearing makes the warp
     # produce NaN (0/0), which survives the zero measurement weight
-    bear_pd = jnp.pad(dev.bearings, ((0, 0), (0, pad))).at[2, n:].set(1.0)
+    bear_pd = (
+        dev.bearings if pad == 0
+        else jnp.pad(dev.bearings, ((0, 0), (0, pad))).at[2, n:].set(1.0)
+    )
     merge_prev = dt == jnp.float32 and not have_prev_src
     if merge_prev:
         prev_src = jnp.concatenate(

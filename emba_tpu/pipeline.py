@@ -436,7 +436,10 @@ class EmbaPipeline:
             # Solve this window.
             win = prep.win
             dev = model.DeviceWindow.from_window(
-                win, self.bearing_lut, self.camera.width, self.dtype
+                win, self.bearing_lut, self.camera.width, self.dtype,
+                # pre-pad streamed windows to a chunk multiple: the streamed
+                # passes then hold zero padded copies (model.py)
+                pad_multiple=(mcfg.stream_chunk or 1) if n_dev == 1 else 1,
             )
             win_id = count_window
 

@@ -348,7 +348,43 @@ def solve_window_fused(
         return M.form_normal_eq(act_, gx_, gy_, cfg, num_knots)
 
     cost0, act0 = _objective(knots, Gx, Gy)
-    neq0 = _form(act0, knots, Gx, Gy)
+
+    # In streamed mode the while-loop carry holds the (HW,) ACTIVITY MAP of
+    # the linearization point and the normal equations are re-formed at the
+    # top of every iteration. Carrying the reduced system instead (the
+    # classic-mode structure below) keeps A12 — (R_pad, 2*dp_pad), ~1.6 GB
+    # at a full 1024x512 row space — alive across iterations with while-loop
+    # double buffering plus a lax.cond copy, which is what capped fused
+    # windows at ~32M events on one chip. Forming is deterministic, so
+    # re-forming from the carried state is bit-identical; the only cost is
+    # one extra forming pass on REJECTED iterations (the reference also
+    # re-damps the stored system there, solver.cpp:299-352 — but memory is
+    # the binding constraint at 10^7-10^8 events, not the occasional reject).
+    def lm_iter_streamed(state):
+        (knots, Gx, Gy, act, lam, cost_min, count_tol, it, converged) = state
+        neq = _form(act, knots, Gx, Gy)
+        if use_cg:
+            x1, x2, _, _ = M.solve_normal_eq_cg(neq, lam, fix_first)
+        else:
+            x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
+        knots_new = M.update_knots(knots, x1, fix_first)
+        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
+        cost_new, act_new = _objective(knots_new, gx_new, gy_new)
+
+        accept = cost_new < cost_min
+        knots = jnp.where(accept, knots_new, knots)
+        Gx = jnp.where(accept, gx_new, Gx)
+        Gy = jnp.where(accept, gy_new, Gy)
+        act = jnp.where(accept, act_new, act)
+        lam = jnp.where(accept, lam / 10.0, lam * 10.0)
+        rel = jnp.abs(1.0 - cost_new / (cost_min + 1e-10))
+        count_tol = jnp.where(
+            accept, jnp.where(rel < tol_fun, count_tol + 1, 0), 0
+        )
+        converged = count_tol >= num_times_tol_fun_sat
+        cost_min = jnp.where(accept, cost_new, cost_min)
+        return (knots, Gx, Gy, act, lam, cost_min, count_tol,
+                it + 1, converged)
 
     def lm_iter(state):
         (knots, Gx, Gy, neq, lam, cost_min, count_tol, it, converged) = state
@@ -396,11 +432,13 @@ def solve_window_fused(
         )
 
     state0 = (
-        knots, Gx, Gy, neq0,
+        knots, Gx, Gy,
+        act0 if streamed else _form(act0, knots, Gx, Gy),
         jnp.asarray(1e-3, dt), cost0, jnp.asarray(0), jnp.asarray(0),
         jnp.asarray(False),
     )
-    knots, Gx, Gy, _neq, _lam, cost_min, _ct, it, converged = (
-        jax.lax.while_loop(cond, lm_iter, state0)
+    knots, Gx, Gy, _c4, _lam, cost_min, _ct, it, converged = (
+        jax.lax.while_loop(cond, lm_iter_streamed if streamed else lm_iter,
+                           state0)
     )
     return knots, Gx, Gy, cost_min, it, converged

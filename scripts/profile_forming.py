@@ -132,22 +132,47 @@ def main():
     except Exception as ex:  # noqa: BLE001
         res["a12_accumulate_error"] = repr(ex)[:300]
 
-    # full forming, both producers
+    # full forming, both producers. Consume EVERY output block (subsampled
+    # sums) — consuming only A11[0,0] lets XLA dead-code-eliminate the
+    # A12/A22/b2 scatters and fakes a ~3x-too-fast XLA number.
+    def _consume(neq):
+        tot = jnp.zeros((), jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(neq):
+            f = leaf.reshape(-1)
+            tot = tot + f[:: max(1, f.shape[0] // 4096)].sum().astype(
+                jnp.float32
+            )
+        return tot
+
     @jax.jit
     def form_p(lin, Gx, Gy):
-        neq = M.form_normal_eq(lin, Gx, Gy, cfg, nk)
-        return neq.A11[0, 0] + neq.dropped
+        return _consume(M.form_normal_eq(lin, Gx, Gy, cfg, nk))
 
     cfg_x = dataclasses.replace(cfg, use_pallas=False)
 
     @jax.jit
     def form_x(lin, Gx, Gy):
-        neq = M.form_normal_eq(lin, Gx, Gy, cfg_x, nk)
-        return neq.A11[0, 0] + neq.dropped
+        return _consume(M.form_normal_eq(lin, Gx, Gy, cfg_x, nk))
 
     res["form_pallas_s"] = timed(form_p, lin, Gx, Gy)
     res["form_xla_s"] = timed(form_x, lin, Gx, Gy)
     res["form_pallas_events_per_s"] = n / res["form_pallas_s"]
+
+    # streamed forming (chunk-recomputed linearization; no resident (D,N))
+    cfg_s = dataclasses.replace(cfg, stream_chunk=min(n, 2_097_152))
+
+    @jax.jit
+    def form_s(knots, Gx, Gy):
+        num_ev_map = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg_s)[1]
+        return _consume(
+            M.form_normal_eq_streamed(num_ev_map, knots, Gx, Gy, dev, cfg_s,
+                                      nk)
+        )
+
+    try:
+        res["form_streamed_s"] = timed(form_s, knots, Gx, Gy)
+    except Exception as ex:  # noqa: BLE001
+        res["form_streamed_error"] = repr(ex)[:300]
 
     print(json.dumps(res, indent=2))
 

@@ -249,3 +249,50 @@ def test_fused_solver_streamed_matches_classic(setup):
     np.testing.assert_allclose(float(c2), float(c1), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-10)
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-9)
+
+
+def test_fused_solver_padded_window_matches(setup):
+    """A window pre-padded to a chunk multiple (pad_multiple) must solve
+    identically: padding slots are has_prev=False non-measurements, so they
+    contribute to nothing (they only let the streamed passes hold zero
+    padded copies at trace time)."""
+    import dataclasses as dc
+
+    rng, sensor, scene, cfg = setup
+    steps = np.random.default_rng(7).normal(size=(scene.traj.num_knots, 3)) * 0.015
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj0.locate, 100
+    )
+    cfg_s = dc.replace(cfg, stream_chunk=2048)
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    assert dev.pol_signed.shape[0] % 2048 != 0, "fixture should need padding"
+    dev_pad = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64,
+        pad_multiple=2048,
+    )
+    assert dev_pad.pol_signed.shape[0] % 2048 == 0
+    knots = jnp.asarray(traj0.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, c1, it1, _ = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg_s, damping, tolf, fix_first=True,
+        max_num_iter=6,
+    )
+    k2, gx2, gy2, c2, it2, _ = solver.solve_window_fused(
+        knots, Gx, Gy, dev_pad, cfg_s, damping, tolf, fix_first=True,
+        max_num_iter=6,
+    )
+    assert int(it2) == int(it1)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-12)
