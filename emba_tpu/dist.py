@@ -515,6 +515,7 @@ def make_solve_window_sharded(
     fix_first: bool = False,
     max_num_iter: int = 50,
     num_times_tol_fun_sat: int = 2,
+    return_trace: bool = False,
 ):
     """The COMPLETE LM time-window solve (reference ``EMBA::solveTimeWindow``,
     solver.cpp:11-368) as one SPMD program over the mesh — accept/reject,
@@ -538,8 +539,13 @@ def make_solve_window_sharded(
         shard).
 
     Returns jitted fn(knots, Gx, Gy, dev_win, damping, tol_fun) ->
-    (knots, Gx, Gy, cost_min, iterations, converged), all replicated.
+    (knots, Gx, Gy, cost_min, iterations, converged), all replicated
+    [+ the per-iteration trace (lm.TRACE_COLS — lambda, costs, accept, Np,
+    psum'd dropped-measurement count) when ``return_trace``: multi-chip runs
+    report the reference's per-iteration observability, solver.cpp:176-178,
+    283-293].
     """
+    from . import lm
     n_ev, n_tile = mesh.shape["ev"], mesh.shape["tile"]
     n_shards = n_ev * n_tile
     axes = ("ev", "tile")
@@ -578,11 +584,18 @@ def make_solve_window_sharded(
         # cross-shard prev bearings/batch-ids are STATE-INDEPENDENT (the
         # pairing and the halo fold winner depend only on event order):
         # resolve them through the halo ONCE, reuse every LM iteration.
-        lin0, prev_src = lin_full(knots, Gx, Gy, streamed)
+        if streamed:
+            _, prev_src = lin_full(knots, Gx, Gy, True)
+        else:
+            prev_src = None
 
         def form_reduce(lin, knots_, gx_, gy_):
             """Form shard-locally, reduce: pose block replicated, map rows
-            chunked over all devices."""
+            chunked over all devices. The last two entries are the
+            observability scalars: Np (global — derived from the psum'd
+            activity map, identical on every shard) and the psum'd
+            compaction-dropped measurement count (no silent truncation,
+            reference Np logging solver.cpp:283-293)."""
             if streamed:
                 neq = M.form_normal_eq_streamed(
                     lin.num_ev_map, knots_, gx_, gy_, local_dev, cfg,
@@ -620,6 +633,8 @@ def make_solve_window_sharded(
                 ),
                 neq.pix2row,
                 neq.active_pix,
+                neq.active_count,
+                jax.lax.psum(neq.dropped, axes),
             )
 
         def update_map_full(gx_, gy_, x2, pix2row, active_pix):
@@ -635,70 +650,38 @@ def make_solve_window_sharded(
             gy2 = jnp.where(act, gy_ + damping * dyp, 0.0)
             return gx2, gy2
 
-        cost0 = cost_of(lin0, Gx, Gy)
-        red0 = form_reduce(lin0, knots, Gx, Gy)
+        def objective(knots_, gx_, gy_):
+            lin = lin_local(knots_, gx_, gy_)
+            return cost_of(lin, gx_, gy_), lin
 
-        def lm_iter(state):
-            (knots, Gx, Gy, red, lam, cost_min, count_tol, it,
-             converged) = state
+        def solve_update(red, knots_, gx_, gy_, lam):
             (A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
-             pix2row, active_pix) = red
-
+             pix2row, active_pix, _np, _dr) = red
             x1, x2 = _solve_rowchunks(
                 A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
                 lam, fix_first, axes, dim,
             )
-            knots_new = M.update_knots(knots, x1, fix_first)
-            gx_new, gy_new = update_map_full(Gx, Gy, x2, pix2row, active_pix)
-            lin_new = lin_local(knots_new, gx_new, gy_new)
-            cost_new = cost_of(lin_new, gx_new, gy_new)
+            knots_new = M.update_knots(knots_, x1, fix_first)
+            gx_new, gy_new = update_map_full(gx_, gy_, x2, pix2row,
+                                             active_pix)
+            return knots_new, gx_new, gy_new
 
-            accept = cost_new < cost_min
-            # accept: take trial state + relinearized reduced system,
-            # lam /= 10; reject: keep, lam *= 10 (solver.cpp:299-352).
-            # `accept` is replicated (derived from psum'd costs), so the
-            # collectives inside the branch execute uniformly. Only the
-            # REDUCED system is carried across iterations — re-carrying the
-            # linearization would where-merge (D, N_shard) data nothing
-            # reads.
-            red_new = jax.lax.cond(
-                accept,
-                lambda: form_reduce(lin_new, knots_new, gx_new, gy_new),
-                lambda: red,
-            )
-            knots = jnp.where(accept, knots_new, knots)
-            Gx = jnp.where(accept, gx_new, Gx)
-            Gy = jnp.where(accept, gy_new, Gy)
-            lam = jnp.where(accept, lam / 10.0, lam * 10.0)
-            rel = jnp.abs(1.0 - cost_new / (cost_min + 1e-10))
-            count_tol = jnp.where(
-                accept, jnp.where(rel < tol_fun, count_tol + 1, 0), 0
-            )
-            converged = count_tol >= num_times_tol_fun_sat
-            cost_min = jnp.where(accept, cost_new, cost_min)
-            return (knots, Gx, Gy, red_new, lam, cost_min,
-                    count_tol, it + 1, converged)
-
-        def cond(state):
-            lam, cost_min, it, converged = (
-                state[4], state[5], state[7], state[8]
-            )
-            return (
-                (it <= max_num_iter)
-                & (cost_min > 1e-16)
-                & (lam <= 1e3)
-                & (lam >= 1e-300)
-                & jnp.logical_not(converged)
-            )
-
-        state0 = (
-            knots, Gx, Gy, red0, jnp.asarray(1e-3, dt), cost0,
-            jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
+        # Only the REDUCED system is carried across iterations (re-carrying
+        # the linearization would where-merge (D, N_shard) data nothing
+        # reads); `accept` is replicated (derived from psum'd costs), so the
+        # collectives inside the lax.cond re-form execute uniformly.
+        knots, Gx, Gy, cost_min, it, converged, trace = lm.lm_while(
+            knots, Gx, Gy,
+            objective=objective,
+            form=form_reduce,
+            solve_update=solve_update,
+            sys_stats=lambda red: (red[11], red[12]),
+            tol_fun=tol_fun,
+            max_num_iter=max_num_iter,
+            num_times_tol_fun_sat=num_times_tol_fun_sat,
+            carry_aux=False,
         )
-        knots, Gx, Gy, _red, _lam, cost_min, _ct, it, converged = (
-            jax.lax.while_loop(cond, lm_iter, state0)
-        )
-        return knots, Gx, Gy, cost_min, it, converged
+        return knots, Gx, Gy, cost_min, it, converged, trace
 
     ev_spec = P(("ev", "tile"))
     shardfn = _shard_map(
@@ -709,16 +692,17 @@ def make_solve_window_sharded(
             P(None, ("ev", "tile")), ev_spec, ev_spec, ev_spec, ev_spec,
             P(), P(), ev_spec,
         ),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()),
     )
 
     @jax.jit
     def fn(knots, Gx, Gy, dev_win: M.DeviceWindow, damping, tol_fun):
-        return shardfn(
+        out = shardfn(
             knots, Gx, Gy, damping, tol_fun, dev_win.bearings,
             dev_win.pol_signed, dev_win.prev_idx, dev_win.has_prev,
             dev_win.batch_ids, dev_win.batch_s, dev_win.batch_u,
             dev_win.sensor_pix,
         )
+        return out if return_trace else out[:6]
 
     return fn

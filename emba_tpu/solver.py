@@ -171,17 +171,22 @@ def solve_window(
 
     Returns: (knots, Gx, Gy, LMStats).
     """
+    from . import lm as lm_mod
+
     num_knots = knots.shape[0]
     stats = LMStats(num_events=int(dev_win.pol_signed.shape[0]))
     dt = Gx.dtype
     damping = jnp.asarray(damping_factor, dt)
 
-    lam = lm.lambda_init
-    cost_min_old = 1e99
-    cost_new = cost_min_old
-    count_tol_sat = 0
-    cost_decreased = True
-    it = 0
+    # the one shared accept/reject/lambda/tol-sat schedule (lm.py)
+    sched = lm_mod.HostSchedule(
+        tol_fun=lm.tol_fun,
+        max_num_iter=lm.max_num_iter,
+        num_times_tol_fun_sat=lm.num_times_tol_fun_sat,
+        lam=lm.lambda_init,
+        lambda_min=lm.lambda_min,
+        lambda_max=lm.lambda_max,
+    )
 
     # streamed mode: ``lin`` holds just the (HW,) activity map — the
     # objective and forming passes recompute everything else chunk-wise;
@@ -201,15 +206,11 @@ def solve_window(
     cost_data, cost_reg = float(cost_data_j), float(cost_reg_j)
     stats.time_objective_s += time.perf_counter() - t0
     stats.count_objective += 1
-    cost_min = cost_data + cost_reg
+    sched.start(cost_data + cost_reg)
 
     neq = None
-    while (
-        it <= lm.max_num_iter
-        and cost_min > 1e-16
-        and lm.lambda_min <= lam <= lm.lambda_max
-    ):
-        if cost_decreased:
+    while sched.running():
+        if sched.cost_decreased:
             t0 = time.perf_counter()
             if streamed:
                 neq = M.form_normal_eq_streamed(
@@ -227,13 +228,14 @@ def solve_window(
             stats.dropped_meas_per_form.append(dropped)
 
         if callback is not None:
-            callback(it, Gx, Gy, dict(lam=lam, cost_min=cost_min))
+            callback(sched.it, Gx, Gy,
+                     dict(lam=sched.lam, cost_min=sched.cost_min))
 
         # Phase: solve + trial state (one jitted call, value-fetch synced).
         t0 = time.perf_counter()
         knots_new, gx_new, gy_new, cg_it, cg_err, sync = _solve_update(
-            knots, Gx, Gy, neq, jnp.asarray(lam, dt), damping, fix_first,
-            use_cg,
+            knots, Gx, Gy, neq, jnp.asarray(sched.lam, dt), damping,
+            fix_first, use_cg,
         )
         float(sync)
         t1 = time.perf_counter()
@@ -249,12 +251,11 @@ def solve_window(
         stats.time_objective_s += time.perf_counter() - t1
         stats.count_objective += 1
         cost_new = cost_data_new + cost_reg_new
-        it += 1
 
         rec = dict(
-            iter=it,
-            log10_lambda=np.log10(lam),
-            cost_min=cost_min,
+            iter=sched.it + 1,
+            log10_lambda=np.log10(sched.lam),
+            cost_min=sched.cost_min,
             cost_new=cost_new,
             cost_data=cost_data,
             cost_reg=cost_reg,
@@ -264,25 +265,17 @@ def solve_window(
             rec["cg_error"] = float(cg_err)
         stats.iterations.append(rec)
 
-        if cost_new < cost_min:
-            # Accept (solver.cpp:299-340).
-            cost_decreased = True
+        if sched.step(cost_new):
+            # Accept (solver.cpp:299-340): take the trial state; the trial
+            # linearization IS the next linearization point (reused).
             knots, Gx, Gy = knots_new, gx_new, gy_new
             lin = lin_new
-            lam /= 10.0
-            cost_min_old, cost_min = cost_min, cost_new
             cost_data, cost_reg = cost_data_new, cost_reg_new
-            if abs(1.0 - cost_min / (cost_min_old + 1e-10)) < lm.tol_fun:
-                count_tol_sat += 1
-                if count_tol_sat >= lm.num_times_tol_fun_sat:
-                    stats.converged = True
-                    stats.time_total_s = time.perf_counter() - t_loop0
-                    return knots, Gx, Gy, stats
-        else:
-            # Reject (solver.cpp:343-352).
-            cost_decreased = False
-            lam *= 10.0
-            count_tol_sat = 0
+            if sched.converged:
+                stats.converged = True
+                stats.time_total_s = time.perf_counter() - t_loop0
+                return knots, Gx, Gy, stats
+        # Reject (solver.cpp:343-352): state kept, lambda raised by sched.
 
     stats.time_total_s = time.perf_counter() - t_loop0
     return knots, Gx, Gy, stats
@@ -296,7 +289,7 @@ def solve_window(
 @partial(
     jax.jit,
     static_argnames=("cfg", "fix_first", "use_cg", "max_num_iter",
-                     "num_times_tol_fun_sat"),
+                     "num_times_tol_fun_sat", "return_trace"),
 )
 def solve_window_fused(
     knots,
@@ -310,16 +303,20 @@ def solve_window_fused(
     use_cg: bool = False,
     max_num_iter: int = 50,
     num_times_tol_fun_sat: int = 2,
+    return_trace: bool = False,
 ):
     """The whole LM window as ONE device program (`lax.while_loop`):
     identical control flow to :func:`solve_window` (reference
     solver.cpp:11-368) but with zero host round-trips — the right shape for
     production serving and for small windows where dispatch latency
-    dominates.
+    dominates. The accept/reject/lambda/tol-sat step itself lives in
+    :func:`lm.lm_while` (shared with the sharded SPMD window).
 
-    Returns (knots, Gx, Gy, cost_min, iterations_used, converged).
+    Returns (knots, Gx, Gy, cost_min, iterations_used, converged)
+    [+ the per-iteration trace when ``return_trace``, see lm.TRACE_COLS].
     """
-    dt = Gx.dtype
+    from . import lm
+
     num_knots = knots.shape[0]
     streamed = cfg.stream_chunk is not None
     # prev records are state-independent: gather once, hoisted above the LM
@@ -347,98 +344,33 @@ def solve_window_fused(
             )
         return M.form_normal_eq(act_, gx_, gy_, cfg, num_knots)
 
-    cost0, act0 = _objective(knots, Gx, Gy)
-
-    # In streamed mode the while-loop carry holds the (HW,) ACTIVITY MAP of
-    # the linearization point and the normal equations are re-formed at the
-    # top of every iteration. Carrying the reduced system instead (the
-    # classic-mode structure below) keeps A12 — (R_pad, 2*dp_pad), ~1.6 GB
-    # at a full 1024x512 row space — alive across iterations with while-loop
-    # double buffering plus a lax.cond copy, which is what capped fused
-    # windows at ~32M events on one chip. Forming is deterministic, so
-    # re-forming from the carried state is bit-identical; the only cost is
-    # one extra forming pass on REJECTED iterations (the reference also
-    # re-damps the stored system there, solver.cpp:299-352 — but memory is
-    # the binding constraint at 10^7-10^8 events, not the occasional reject).
-    def lm_iter_streamed(state):
-        (knots, Gx, Gy, act, lam, cost_min, count_tol, it, converged) = state
-        neq = _form(act, knots, Gx, Gy)
+    def _solve_update(neq, knots_, gx_, gy_, lam):
         if use_cg:
             x1, x2, _, _ = M.solve_normal_eq_cg(neq, lam, fix_first)
         else:
             x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
-        knots_new = M.update_knots(knots, x1, fix_first)
-        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
-        cost_new, act_new = _objective(knots_new, gx_new, gy_new)
+        knots_new = M.update_knots(knots_, x1, fix_first)
+        gx_new, gy_new = M.update_map(gx_, gy_, x2, damping, neq)
+        return knots_new, gx_new, gy_new
 
-        accept = cost_new < cost_min
-        knots = jnp.where(accept, knots_new, knots)
-        Gx = jnp.where(accept, gx_new, Gx)
-        Gy = jnp.where(accept, gy_new, Gy)
-        act = jnp.where(accept, act_new, act)
-        lam = jnp.where(accept, lam / 10.0, lam * 10.0)
-        rel = jnp.abs(1.0 - cost_new / (cost_min + 1e-10))
-        count_tol = jnp.where(
-            accept, jnp.where(rel < tol_fun, count_tol + 1, 0), 0
-        )
-        converged = count_tol >= num_times_tol_fun_sat
-        cost_min = jnp.where(accept, cost_new, cost_min)
-        return (knots, Gx, Gy, act, lam, cost_min, count_tol,
-                it + 1, converged)
-
-    def lm_iter(state):
-        (knots, Gx, Gy, neq, lam, cost_min, count_tol, it, converged) = state
-
-        if use_cg:
-            x1, x2, _, _ = M.solve_normal_eq_cg(neq, lam, fix_first)
-        else:
-            x1, x2 = M.solve_normal_eq(neq, lam, fix_first)
-        knots_new = M.update_knots(knots, x1, fix_first)
-        gx_new, gy_new = M.update_map(Gx, Gy, x2, damping, neq)
-        cost_new, act_new = _objective(knots_new, gx_new, gy_new)
-
-        accept = cost_new < cost_min
-        # accept: take trial state, relinearized normal eq, lam /= 10
-        # reject: keep state, same normal eq, lam *= 10 (solver.cpp:299-352).
-        # NOTE the linearization itself is NOT carried across iterations —
-        # only the reduced system is; re-carrying lin would cost a full
-        # (D, N) where-merge per iteration for data nothing reads.
-        neq_new = jax.lax.cond(
-            accept,
-            lambda: _form(act_new, knots_new, gx_new, gy_new),
-            lambda: neq,
-        )
-        knots = jnp.where(accept, knots_new, knots)
-        Gx = jnp.where(accept, gx_new, Gx)
-        Gy = jnp.where(accept, gy_new, Gy)
-        lam = jnp.where(accept, lam / 10.0, lam * 10.0)
-        rel = jnp.abs(1.0 - cost_new / (cost_min + 1e-10))
-        count_tol = jnp.where(
-            accept, jnp.where(rel < tol_fun, count_tol + 1, 0), 0
-        )
-        converged = count_tol >= num_times_tol_fun_sat
-        cost_min = jnp.where(accept, cost_new, cost_min)
-        return (knots, Gx, Gy, neq_new, lam, cost_min, count_tol,
-                it + 1, converged)
-
-    def cond(state):
-        lam, cost_min, it, converged = state[4], state[5], state[7], state[8]
-        return (
-            (it <= max_num_iter)
-            & (cost_min > 1e-16)
-            & (lam <= 1e3)
-            & (lam >= 1e-300)
-            & jnp.logical_not(converged)
-        )
-
-    state0 = (
+    # In streamed mode (carry_aux) the while-loop carry holds the (HW,)
+    # ACTIVITY MAP of the linearization point and the normal equations are
+    # re-formed at the top of every iteration: carrying the reduced system
+    # instead keeps A12 — (R_pad, 2*dp_pad), ~1.6 GB at a full 1024x512 row
+    # space — alive across iterations with while-loop double buffering plus
+    # a lax.cond copy, which is what capped fused windows at ~32M events on
+    # one chip. Forming is deterministic, so re-forming from the carried
+    # state is bit-identical; the only cost is one extra forming pass on
+    # REJECTED iterations.
+    out = lm.lm_while(
         knots, Gx, Gy,
-        act0 if streamed else _form(act0, knots, Gx, Gy),
-        jnp.asarray(1e-3, dt), cost0, jnp.asarray(0), jnp.asarray(0),
-        jnp.asarray(False),
+        objective=_objective,
+        form=_form,
+        solve_update=_solve_update,
+        sys_stats=lambda neq: (neq.active_count, neq.dropped),
+        tol_fun=tol_fun,
+        max_num_iter=max_num_iter,
+        num_times_tol_fun_sat=num_times_tol_fun_sat,
+        carry_aux=streamed,
     )
-    knots, Gx, Gy, _c4, _lam, cost_min, _ct, it, converged = (
-        jax.lax.while_loop(cond, lm_iter_streamed if streamed else lm_iter,
-                           state0)
-    )
-    return knots, Gx, Gy, cost_min, it, converged
+    return out if return_trace else out[:6]
