@@ -507,6 +507,45 @@ def _solve_rowchunks(
     return x1, x2
 
 
+# make_solve_window_sharded returns a fresh closure (= a fresh jit cache
+# entry) per call; with 30-400 s remote-TPU compiles, calling it inside a
+# window loop makes multi-window runs compile-bound. This memo keys the
+# closure on everything that shapes the compiled program, so a run compiles
+# once per distinct (mesh, cfg, knot count, ...) signature.
+_SHARDED_WINDOW_CACHE: dict = {}
+
+
+def solve_window_sharded_cached(
+    mesh: Mesh,
+    cfg: M.ModelConfig,
+    num_knots: int,
+    num_sensor_pix: int,
+    fix_first: bool = False,
+    max_num_iter: int = 50,
+    num_times_tol_fun_sat: int = 2,
+    return_trace: bool = False,
+):
+    """Memoized :func:`make_solve_window_sharded` (same signature)."""
+    key = (
+        tuple(d.id for d in mesh.devices.flat),
+        tuple(mesh.shape.items()),
+        cfg,
+        num_knots,
+        num_sensor_pix,
+        fix_first,
+        max_num_iter,
+        num_times_tol_fun_sat,
+        return_trace,
+    )
+    fn = _SHARDED_WINDOW_CACHE.get(key)
+    if fn is None:
+        fn = _SHARDED_WINDOW_CACHE[key] = make_solve_window_sharded(
+            mesh, cfg, num_knots, num_sensor_pix, fix_first, max_num_iter,
+            num_times_tol_fun_sat, return_trace,
+        )
+    return fn
+
+
 def make_solve_window_sharded(
     mesh: Mesh,
     cfg: M.ModelConfig,

@@ -333,6 +333,29 @@ class EmbaPipeline:
             prep_s=time.perf_counter() - t0,
         )
 
+    @staticmethod
+    def _stats_from_trace(num_events, n_it, conv, trace, total_s):
+        """LMStats for a fused/sharded window from the on-device
+        per-iteration trace (lm.TRACE_COLS): real per-iteration records,
+        Np and compaction-dropped counts per forming pass. Only the total
+        wall time is a real timing measurement (one device program — phase
+        times stay 0, never fabricated splits)."""
+        from . import lm
+
+        n_it = int(n_it)
+        tr = np.asarray(trace)
+        stats = solver.LMStats(num_events=num_events)
+        stats.converged = bool(conv)
+        stats.count_objective = n_it
+        stats.count_solve = n_it
+        stats.iterations = lm.trace_records(tr, n_it)
+        stats.active_px_per_form, stats.dropped_meas_per_form = (
+            lm.forming_stats_from_trace(tr, n_it)
+        )
+        stats.count_form = len(stats.active_px_per_form)
+        stats.time_total_s = total_s
+        return stats
+
     # -- the sliding-window loop (reference Run(), emba.cpp:400-471) --------
 
     def run(self, resume_from: str | None = None) -> RunResult:
@@ -463,14 +486,17 @@ class EmbaPipeline:
                 # Jacobians shard-locally); mcfg.stream_chunk is honored
                 mesh = dist.make_mesh(n_dev, 1)
                 t0 = time.perf_counter()
-                solve = dist.make_solve_window_sharded(
+                # memoized builder: one compile per distinct
+                # (mesh, cfg, knot count, ...) signature across windows
+                solve = dist.solve_window_sharded_cached(
                     mesh, mcfg, seg.num_knots,
                     self.camera.width * self.camera.height,
                     fix_first=first_window,
                     max_num_iter=cfg.max_num_iter,
                     num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
+                    return_trace=True,
                 )
-                knots, gx_j, gy_j, cost_min, n_it, conv = solve(
+                knots, gx_j, gy_j, cost_min, n_it, conv, trace = solve(
                     *dist.replicate(
                         mesh,
                         jnp.asarray(seg.knots, self.dtype),
@@ -481,17 +507,12 @@ class EmbaPipeline:
                     jnp.asarray(cfg.damping_factor, self.dtype),
                     jnp.asarray(cfg.tol_fun, self.dtype),
                 )
-                stats = solver.LMStats(num_events=win.num_events)
-                stats.converged = bool(conv)
-                stats.count_objective = int(n_it)
-                stats.count_form = stats.count_solve = int(n_it)
-                stats.time_total_s = time.perf_counter() - t0
-                stats.iterations = [
-                    dict(iter=int(n_it), cost_min=float(cost_min))
-                ]
+                stats = self._stats_from_trace(
+                    win.num_events, n_it, conv, trace, time.perf_counter() - t0
+                )
             elif fused:
                 t0 = time.perf_counter()
-                knots, gx_j, gy_j, cost_min, n_it, conv = (
+                knots, gx_j, gy_j, cost_min, n_it, conv, trace = (
                     solver.solve_window_fused(
                         jnp.asarray(seg.knots, self.dtype),
                         jnp.asarray(self.gx, self.dtype),
@@ -504,17 +525,12 @@ class EmbaPipeline:
                         use_cg=cfg.use_cg,
                         max_num_iter=cfg.max_num_iter,
                         num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
+                        return_trace=True,
                     )
                 )
-                stats = solver.LMStats(num_events=win.num_events)
-                stats.converged = bool(conv)
-                stats.count_objective = int(n_it)
-                stats.count_form = stats.count_solve = int(n_it)
-                # Fused mode is ONE device program: only the total is a real
-                # measurement — per-phase times stay 0 (reported as None),
-                # never fabricated splits.
-                stats.time_total_s = time.perf_counter() - t0
-                stats.iterations = [dict(iter=int(n_it), cost_min=float(cost_min))]
+                stats = self._stats_from_trace(
+                    win.num_events, n_it, conv, trace, time.perf_counter() - t0
+                )
             else:
                 knots, gx_j, gy_j, stats = solver.solve_window(
                     jnp.asarray(seg.knots, self.dtype),

@@ -316,3 +316,67 @@ def test_solve_window_sharded_with_compaction(problem):
     np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
     np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
+
+
+def test_sharded_trace_matches_fused_trace(problem):
+    """The per-iteration trace (lm.TRACE_COLS) of the sharded window must
+    equal the single-device fused solver's trace: same lambda path, same
+    per-iteration costs, same accepts, same Np — multi-chip runs report the
+    reference's per-iteration observability (solver.cpp:176-178, 283-293)."""
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, cost1, it1, conv1, tr1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+        max_num_iter=8, return_trace=True,
+    )
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    solve = dist.solve_window_sharded_cached(
+        mesh, cfg, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=8, return_trace=True,
+    )
+    k8, gx8, gy8, cost8, it8, conv8, tr8 = solve(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+    n = int(it1)
+    assert int(it8) == n and n > 2
+    t1, t8 = np.asarray(tr1)[:n], np.asarray(tr8)[:n]
+    np.testing.assert_allclose(t8[:, 0], t1[:, 0], rtol=1e-12)  # lambda
+    np.testing.assert_allclose(t8[:, 1:3], t1[:, 1:3], rtol=1e-9)  # costs
+    np.testing.assert_array_equal(t8[:, 3], t1[:, 3])  # accept
+    np.testing.assert_array_equal(t8[:, 4], t1[:, 4])  # Np (global)
+    np.testing.assert_array_equal(t8[:, 5], t1[:, 5])  # dropped (psum'd)
+
+    # the trace decodes into per-iteration records + per-form Np lists
+    from emba_tpu import lm
+
+    recs = lm.trace_records(t8, n)
+    assert len(recs) == n and recs[0]["active_px"] > 0
+    act, drop = lm.forming_stats_from_trace(t8, n)
+    assert 1 <= len(act) <= n and all(d == 0 for d in drop)
+
+
+def test_solve_window_sharded_cache_reuses_executable(problem):
+    """solve_window_sharded_cached must return the SAME closure (= the same
+    jit cache entry) for an identical signature and a different one when any
+    shape-determining argument changes — multi-window sharded runs compile
+    once per distinct signature, not once per window."""
+    scene, cfg, dev = problem
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    args = (mesh, cfg, scene.traj.num_knots, NUM_SENSOR_PIX)
+    f1 = dist.solve_window_sharded_cached(*args, fix_first=True)
+    f2 = dist.solve_window_sharded_cached(*args, fix_first=True)
+    assert f1 is f2
+    f3 = dist.solve_window_sharded_cached(*args, fix_first=False)
+    assert f3 is not f1
+    f4 = dist.solve_window_sharded_cached(
+        mesh, cfg, scene.traj.num_knots + 1, NUM_SENSOR_PIX, fix_first=True
+    )
+    assert f4 is not f1
