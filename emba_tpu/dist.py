@@ -251,13 +251,14 @@ def _linearize_sharded(
     sharding, only the FIRST local event at a sensor pixel can have its prev
     in an earlier shard; that prev is the LAST event at the pixel in the
     greatest earlier shard that saw the pixel. The halo exchange therefore
-    ships one record per (shard, sensor pixel) — the shard's last event's
-    warped position, knot Jacobian, and segment index — via one all_gather
-    over ICI (SURVEY.md §2.3's collective-permute plan, generalized to
-    arbitrary-distance prevs), and each shard folds the tables of earlier
-    shards into a per-pixel "latest prev" record. Payload: (3 + 2D) floats
-    x num_sensor_pix x n_shards — e.g. 128x128 sensor, 8 shards, order 2:
-    7.5 MB, independent of the event count.
+    ships one record per sensor pixel — the shard's last event's warped
+    position, knot Jacobian, and segment index — and folds earlier shards'
+    records into a per-pixel "latest prev" via a log-depth ppermute prefix
+    scan (SURVEY.md §2.3's collective-permute plan, generalized to
+    arbitrary-distance prevs). Per-device payload: (3 + 2D) floats x
+    num_sensor_pix per ppermute round, ceil(log2(n_shards)) rounds —
+    independent of BOTH the event count and the shard count (an EVK4
+    1280x720 sensor at order 2 is ~26 MB/round; 64 shards = 6 rounds).
     """
     pm, cp_idx, dpm = M.warp.warp_events(
         knots, batch_s, batch_u, batch_ids, bearings, cfg.pano,
@@ -288,22 +289,40 @@ def _linearize_sharded(
     if return_prev_src:  # batch id rides the same int all_gather
         exp_i = jnp.stack([exp_i, jnp.where(valid, batch_ids[li], 0)])
 
-    # -- one all_gather, then fold earlier shards (latest wins) -------------
-    tf = jax.lax.all_gather(export, axes)  # (n_shards, F, P)
-    ti = jax.lax.all_gather(exp_i, axes)  # (n_shards, [2,] P)
-    tv = jax.lax.all_gather(valid, axes)  # (n_shards, P)
+    # -- exclusive prefix fold: latest valid EARLIER shard wins per pixel ---
+    # Log-depth ppermute doubling scan (Hillis-Steele) instead of an
+    # all_gather + O(n_shards) where-chain: the all_gather materialized a
+    # (n_shards, F, P) table per device (~3.8 GB at an EVK4 sensor x 64
+    # shards) and folded it sequentially; here the per-device payload stays
+    # O(F x num_sensor_pix) — independent of the shard count — and the fold
+    # is ceil(log2(n_shards)) ppermute rounds riding ICI neighbors. The
+    # combine is a SELECTION ("later range wins where it has a record", an
+    # associative op), so the result is bit-identical to the sequential
+    # fold. Shards that receive nothing get ppermute's zero fill, i.e.
+    # valid=False — exactly the "no earlier record" state.
+    def shift(x, d):
+        return jax.lax.ppermute(
+            x, axes, [(s, s + d) for s in range(n_shards - d)]
+        )
+
+    vi = exp_i if return_prev_src else exp_i[None]  # int rows, uniform 2-D
+    # exclusive: start from the immediate predecessor's export
+    acc_f, acc_i, acc_v = shift(export, 1), shift(vi, 1), shift(valid, 1)
+    cov = 1  # acc covers the `cov` shards immediately before this one
+    while cov < n_shards - 1:
+        r_f, r_i, r_v = shift(acc_f, cov), shift(acc_i, cov), shift(acc_v, cov)
+        acc_f = jnp.where(acc_v[None, :], acc_f, r_f)
+        acc_i = jnp.where(acc_v[None, :], acc_i, r_i)
+        acc_v = acc_v | r_v
+        cov *= 2
     # never-seen pixels keep a unit bearing (z=1): an all-zero bearing makes
     # the prev re-warp produce NaN, which survives the zero weight
-    sel = jnp.zeros_like(export)
+    init = jnp.zeros_like(export)
     if return_prev_src:
-        sel = sel.at[boff + 2].set(1.0)
-    sel_i = jnp.zeros_like(exp_i)
-    for sp in range(n_shards):
-        use = tv[sp] & (jnp.asarray(sp, my.dtype) < my)
-        sel = jnp.where(use[None, :], tf[sp], sel)
-        sel_i = jnp.where(
-            use[None, :] if return_prev_src else use, ti[sp], sel_i
-        )
+        init = init.at[boff + 2].set(1.0)
+    sel = jnp.where(acc_v[None, :], acc_f, init)
+    sel_i2 = jnp.where(acc_v[None, :], acc_i, 0)
+    sel_i = sel_i2 if return_prev_src else sel_i2[0]
 
     # -- per-event prev data: local gather or halo lookup -------------------
     halo = jnp.take(sel, spix, axis=1)  # (F, nl)
