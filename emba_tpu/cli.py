@@ -69,6 +69,7 @@ def _cmd_run(args):
         "thres_valid_pixel",
         "compact_cap",
         "stream_chunk",
+        "stream_light",
         "num_devices",
         "time_window_size",
         "sliding_window_stride",
@@ -307,6 +308,12 @@ def main(argv=None):
         "--stream-chunk", dest="stream_chunk", type=int,
         help="streamed forming chunk size in events (0 disables; default "
         "auto-enables above ~8M events)",
+    )
+    r.add_argument(
+        "--stream-light", dest="stream_light", type=int, choices=(0, 1),
+        help="streaming tier: 1 = light (resident residual fields, "
+        "Jacobian-only recompute; fastest to ~32M events/device), 0 = full "
+        "(zero O(N) residency); default auto by per-device event count",
     )
     r.add_argument(
         "--num-devices", dest="num_devices", type=int,

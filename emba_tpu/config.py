@@ -77,8 +77,13 @@ class BAConfig:
     compact_cap: int | None = None
     # Streamed forming chunk (events): recompute Jacobians chunk-wise during
     # accumulation instead of holding (D, N) arrays. None = auto (enabled
-    # above ~8M events); 0 disables.
+    # above ~8M events/device); 0 disables.
     stream_chunk: int | None = None
+    # Streaming tier: True = LIGHT (resident (N,) residual fields,
+    # Jacobian-only chunk recompute — fastest, to ~32M events/device);
+    # False = FULL (zero O(N) residency, 10^8-event windows); None = auto
+    # by per-device event count.
+    stream_light: bool | None = None
     # Multi-chip: number of devices for the sharded LM window (None = auto:
     # all local devices when >1; 1 = force single-device). The window is
     # solved by dist.make_solve_window_sharded over an (n, 1) mesh with
@@ -108,6 +113,7 @@ class BAConfig:
             use_pallas=use_pallas,
             compact_cap=self.compact_cap,
             stream_chunk=self.stream_chunk or None,
+            stream_light=bool(self.stream_light) and bool(self.stream_chunk),
         )
 
     def lm_config(self) -> LMConfig:

@@ -655,8 +655,12 @@ def make_solve_window_sharded(
             compaction-dropped measurement count (no silent truncation,
             reference Np logging solver.cpp:283-293)."""
             if streamed:
+                # light tier: the shard-local light linearization's (N,)
+                # fields feed forming directly (Jacobian-only recompute);
+                # full tier: just the psum'd global activity map
+                aux = lin if cfg.stream_light else lin.num_ev_map
                 neq = M.form_normal_eq_streamed(
-                    lin.num_ev_map, knots_, gx_, gy_, local_dev, cfg,
+                    aux, knots_, gx_, gy_, local_dev, cfg,
                     num_knots, reg_scale, prev_bearings=prev_src[0],
                     prev_bids=prev_src[1],
                 )

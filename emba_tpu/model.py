@@ -80,6 +80,15 @@ class ModelConfig:
     # windows of 10^7-10^8 events (SURVEY.md §6 problem sizes) fit one chip.
     # None = classic two-phase linearize-then-form.
     stream_chunk: int | None = None
+    # Two-tier streaming (with stream_chunk set): the LIGHT tier keeps the
+    # (N,)-sized residual fields of the linearization resident and
+    # chunk-recomputes ONLY the (D, N) Jacobians — the fast tier, ~25 B/event
+    # of residency, fits one chip to ~32M events. False = the FULL tier:
+    # the whole residual chain is recomputed per chunk and NO O(N) output
+    # survives either LM phase (zero residency beyond the window data —
+    # the 10^8-event tier). The pipeline auto-selects by per-device event
+    # count. Both tiers are bit-identical to classic forming.
+    stream_light: bool = False
 
     @property
     def num_pix(self) -> int:
@@ -802,6 +811,80 @@ def _make_stream_chunk_fn(
     return n, n_chunks, pieces
 
 
+def _make_stream_chunk_fn_light(
+    lin: Linearization, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    prev_bearings, prev_bids,
+):
+    """Resident-LIGHT streamed forming core (the fast tier of two-tier
+    streaming): the (N,)-sized linearization fields (residual, inlier,
+    pairing displacement, pixel/segment ids) stay RESIDENT from the
+    objective pass; only the (D, N) Jacobians — the O(D*N) memory hog — are
+    recomputed per chunk from the per-batch pose tables (reference Jacobian
+    math model.cpp:238-241, 449, 459). One warp per event side per chunk
+    and NO pairing/residual recompute, which is what makes this tier faster
+    than the zero-residency one. ``prev_bearings``/``prev_bids`` are
+    required (the once-per-window :func:`prev_records`, or the sharded
+    halo resolution). Returns ``(n, n_chunks, pieces)`` with the same
+    9-tuple ``pieces(c)`` contract as :func:`_make_stream_chunk_fn`."""
+    dt = Gx.dtype
+    order = cfg.spline_order
+    sc = cfg.stream_chunk
+    n = lin.e.shape[0]
+    n_chunks = -(-n // sc)
+    pad = n_chunks * sc - n
+
+    if prev_bearings is None:  # derive once (callers usually hoist this)
+        prev_bearings, prev_bids = prev_records(dev)
+    R_b, J_b = warp.spline_tables(knots, dev.batch_s, dev.batch_u, order,
+                                  True)
+    gmaps = _stacked_gmaps(Gx, Gy, True)  # (5, HW): values + 2nd-order grads
+
+    def pad1(a, v=0):
+        if pad == 0:
+            return a
+        return jnp.pad(a, ((0, pad),), constant_values=v)
+
+    def padb(b):  # unit-z bearing padding (zero bearings warp to NaN)
+        if pad == 0:
+            return b
+        return jnp.pad(b, ((0, 0), (0, pad))).at[2, n:].set(1.0)
+
+    e_pd, inl_pd = pad1(lin.e), pad1(lin.inlier, False)
+    pmp_pd = pad1(lin.pm_pix)
+    dx_pd, dy_pd = pad1(lin.dx), pad1(lin.dy)
+    ic_pd, ip_pd = pad1(lin.i_c), pad1(lin.i_p)
+    bid_pd = pad1(dev.batch_ids)
+    bear_pd = padb(dev.bearings)
+    pb_pd = padb(prev_bearings)
+    pbid_pd = pad1(prev_bids)
+
+    def pieces(c):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, c * sc, sc, axis=-1)
+
+        # Jacobian-only recompute: curr warp + prev re-warp
+        _, _, dpm_c = warp.warp_from_tables(
+            R_b, J_b, dev.batch_s, sl(bid_pd), sl(bear_pd).astype(dt),
+            cfg.pano, order, True,
+        )
+        _, _, dpm_p = warp.warp_from_tables(
+            R_b, J_b, dev.batch_s, sl(pbid_pd), sl(pb_pd).astype(dt),
+            cfg.pano, order, True,
+        )
+        e_c, inl_c, pmp_c = sl(e_pd), sl(inl_pd), sl(pmp_pd)
+        dx_c, dy_c = sl(dx_pd), sl(dy_pd)
+        g_at = jnp.take(gmaps, pmp_c, axis=1)  # one fused (5, sc) gather
+        gx_c, gy_c = g_at[0], g_at[1]
+        # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
+        tx = gx_c + dx_c * g_at[2] + dy_c * g_at[3]
+        ty = gy_c + dx_c * g_at[3] + dy_c * g_at[4]
+        Jc_c = tx[None, :] * dpm_c[0] + ty[None, :] * dpm_c[1]
+        Jp_c = -(gx_c[None, :] * dpm_p[0] + gy_c[None, :] * dpm_p[1])
+        return e_c, inl_c, pmp_c, sl(ic_pd), sl(ip_pd), Jc_c, Jp_c, dx_c, dy_c
+
+    return n, n_chunks, pieces
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def cost_and_activity_streamed(
     knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
@@ -832,7 +915,7 @@ def cost_and_activity_streamed(
 
 @partial(jax.jit, static_argnames=("cfg", "num_knots"))
 def form_normal_eq_streamed(
-    num_ev_map, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    aux, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
     num_knots: int, reg_scale=None, prev_bearings=None, prev_bids=None,
 ) -> NormalEq:
     """Streamed normal-equation forming for reference-scale windows
@@ -840,12 +923,15 @@ def form_normal_eq_streamed(
     :func:`form_normal_eq`, but the WHOLE per-measurement linearization
     (warp, pairing displacement, residual, Jacobians) is RECOMPUTED in
     chunks of ``cfg.stream_chunk`` events inside the accumulation loop
-    instead of being held resident. ``num_ev_map`` is the (HW,) global
-    inlier-count map of the state being formed (from
-    :func:`cost_and_activity_streamed`, or ``Linearization.num_ev_map``) —
-    the only input beyond the window data itself, so the only event-sized
-    residents are the window plus ONE set of accumulators (the Pallas
-    producer chains chunks through aliased in-place accumulation).
+    instead of being held resident. ``aux`` is the forming input from the
+    objective pass of the state being formed — the (HW,) global
+    inlier-count map (from :func:`cost_and_activity_streamed`) in the FULL
+    tier, or the light :class:`Linearization` (``linearize(...,
+    need_deriv=False)``) in the LIGHT tier (``cfg.stream_light``), whose
+    resident (N,) fields skip the per-chunk residual recompute (see
+    :func:`_make_stream_chunk_fn_light`). In the full tier the only
+    event-sized residents are the window plus ONE set of accumulators (the
+    Pallas producer chains chunks through aliased in-place accumulation).
 
     Per chunk: gather the chunk's (and its prev events') bearings/batch ids,
     re-run the warp + residual chain from the per-batch pose tables
@@ -861,10 +947,17 @@ def form_normal_eq_streamed(
     dim_pose = 3 * num_knots
     dp_pad = _round_up(dim_pose, 128)
 
+    if cfg.stream_light:
+        num_ev_map = aux.num_ev_map
+        _, n_chunks, pieces = _make_stream_chunk_fn_light(
+            aux, knots, Gx, Gy, dev, cfg, prev_bearings, prev_bids
+        )
+    else:
+        num_ev_map = aux
+        _, n_chunks, pieces = _make_stream_chunk_fn(
+            knots, Gx, Gy, dev, cfg, True, prev_bearings, prev_bids
+        )
     active, r_pad, pix2row, row_active = _row_space(num_ev_map, cfg)
-    _, n_chunks, pieces = _make_stream_chunk_fn(
-        knots, Gx, Gy, dev, cfg, True, prev_bearings, prev_bids
-    )
 
     def chunk_pieces(c):
         e_c, inl_c, pmp_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c = pieces(c)

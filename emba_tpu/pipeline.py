@@ -363,12 +363,6 @@ class EmbaPipeline:
         mcfg = cfg.model_config()
         lm = cfg.lm_config()
 
-        # Auto-streaming: above ~8M events the (D, N) Jacobians stop fitting
-        # comfortably; switch to chunk-recomputed forming (exact equivalence,
-        # see form_normal_eq_streamed).
-        if cfg.stream_chunk is None and len(self.t) > 8_000_000:
-            mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
-
         # Multi-chip: solve each window with the sharded LM program when
         # more than one accelerator is present (or when explicitly asked).
         if cfg.num_devices is not None:
@@ -378,6 +372,23 @@ class EmbaPipeline:
                 jax.device_count() if jax.default_backend() == "tpu" else 1
             )
         use_sharded = n_dev > 1 and not cfg.use_cg
+
+        # Two-tier auto-streaming (per-DEVICE event count): above ~8M
+        # events/device the (D, N) Jacobians stop fitting comfortably ->
+        # chunk-recomputed forming (exact equivalence). The LIGHT tier
+        # (resident (N,) residual fields, Jacobian-only recompute — the
+        # fast path) up to ~32M events/device; the zero-residency FULL
+        # tier beyond (10^8-event single-chip windows).
+        per_dev = len(self.t) / max(1, n_dev)
+        if cfg.stream_chunk is None and per_dev > 8_000_000:
+            mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
+        if mcfg.stream_chunk is not None:
+            light = (
+                cfg.stream_light
+                if cfg.stream_light is not None
+                else per_dev <= 32_000_000
+            )
+            mcfg = dataclasses.replace(mcfg, stream_light=light)
 
         auto_cap = mcfg.compact_cap is None
         if auto_cap:

@@ -120,6 +120,16 @@ def _init_costs(knots, Gx, Gy, dev, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _init_costs_light(knots, Gx, Gy, dev, cfg):
+    """Light-tier objective (``cfg.stream_light``): one classic linearize
+    pass WITHOUT Jacobians — its (N,)-sized residual fields stay resident
+    for the Jacobian-only streamed forming pass
+    (:func:`model._make_stream_chunk_fn_light`)."""
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, False)
+    return lin, M.data_cost(lin.e, cfg), M.reg_cost(Gx, Gy, cfg.alpha)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _init_costs_streamed(knots, Gx, Gy, dev, cfg, pb, pbid):
     """Streamed objective (solver.cpp:71-92): cost + the (HW,) activity map,
     chunk-recomputed — NO O(N) linearization output survives the call (the
@@ -188,15 +198,19 @@ def solve_window(
         lambda_max=lm.lambda_max,
     )
 
-    # streamed mode: ``lin`` holds just the (HW,) activity map — the
-    # objective and forming passes recompute everything else chunk-wise;
-    # the prev-record gather happens once per window, not once per pass
+    # streamed mode: ``lin`` holds the light linearization (light tier) or
+    # just the (HW,) activity map (full tier) — the forming pass recomputes
+    # the Jacobians (light) or the whole chain (full) chunk-wise; the
+    # prev-record gather happens once per window, not once per pass
     streamed = cfg.stream_chunk is not None
     if streamed:
         pb, pbid = M.prev_records(dev_win)
-
-        def init_fn(k_, gx_, gy_, dev_, cfg_):
-            return _init_costs_streamed(k_, gx_, gy_, dev_, cfg_, pb, pbid)
+        if cfg.stream_light:
+            init_fn = _init_costs_light
+        else:
+            def init_fn(k_, gx_, gy_, dev_, cfg_):
+                return _init_costs_streamed(k_, gx_, gy_, dev_, cfg_, pb,
+                                            pbid)
     else:
         init_fn = _init_costs
 
@@ -324,16 +338,17 @@ def solve_window_fused(
     pb, pbid = M.prev_records(dev_win) if streamed else (None, None)
 
     def _objective(knots_, gx_, gy_):
-        """Cost + forming input: ``(cost, act)`` where ``act`` is the (HW,)
-        activity map in streamed mode (chunk-recomputed — NO O(N) output
-        survives the objective) or the full Linearization otherwise."""
-        if streamed:
+        """Cost + forming input ``(cost, aux)``: the full Linearization
+        (classic), the light Linearization (streamed LIGHT tier — (N,)
+        fields resident, no Jacobians), or the (HW,) activity map (streamed
+        FULL tier — chunk-recomputed, NO O(N) output survives)."""
+        if streamed and not cfg.stream_light:
             cd, nem = M.cost_and_activity_streamed(
                 knots_, gx_, gy_, dev_win, cfg,
                 prev_bearings=pb, prev_bids=pbid,
             )
             return cd + M.reg_cost(gx_, gy_, cfg.alpha), nem
-        lin = M.linearize(knots_, gx_, gy_, dev_win, cfg, True)
+        lin = M.linearize(knots_, gx_, gy_, dev_win, cfg, not streamed)
         return M.data_cost(lin.e, cfg) + M.reg_cost(gx_, gy_, cfg.alpha), lin
 
     def _form(act_, knots_, gx_, gy_):
@@ -353,15 +368,16 @@ def solve_window_fused(
         gx_new, gy_new = M.update_map(gx_, gy_, x2, damping, neq)
         return knots_new, gx_new, gy_new
 
-    # In streamed mode (carry_aux) the while-loop carry holds the (HW,)
-    # ACTIVITY MAP of the linearization point and the normal equations are
-    # re-formed at the top of every iteration: carrying the reduced system
-    # instead keeps A12 — (R_pad, 2*dp_pad), ~1.6 GB at a full 1024x512 row
-    # space — alive across iterations with while-loop double buffering plus
-    # a lax.cond copy, which is what capped fused windows at ~32M events on
-    # one chip. Forming is deterministic, so re-forming from the carried
-    # state is bit-identical; the only cost is one extra forming pass on
-    # REJECTED iterations.
+    # In the streamed FULL tier (carry_aux) the while-loop carry holds the
+    # (HW,) ACTIVITY MAP of the linearization point and the normal equations
+    # are re-formed at the top of every iteration: carrying the reduced
+    # system instead keeps A12 — (R_pad, 2*dp_pad), ~1.6 GB at a full
+    # 1024x512 row space — alive across iterations with while-loop double
+    # buffering plus a lax.cond copy, which is what capped fused windows at
+    # ~32M events on one chip. Forming is deterministic, so re-forming from
+    # the carried state is bit-identical; the only cost is one extra forming
+    # pass on REJECTED iterations. The LIGHT tier (<= ~32M events) carries
+    # the reduced system like classic mode — forming runs only on accepts.
     out = lm.lm_while(
         knots, Gx, Gy,
         objective=_objective,
@@ -371,6 +387,6 @@ def solve_window_fused(
         tol_fun=tol_fun,
         max_num_iter=max_num_iter,
         num_times_tol_fun_sat=num_times_tol_fun_sat,
-        carry_aux=streamed,
+        carry_aux=streamed and not cfg.stream_light,
     )
     return out if return_trace else out[:6]

@@ -380,3 +380,41 @@ def test_solve_window_sharded_cache_reuses_executable(problem):
         mesh, cfg, scene.traj.num_knots + 1, NUM_SENSOR_PIX, fix_first=True
     )
     assert f4 is not f1
+
+
+def test_solve_window_sharded_streamed_light_matches_fused(problem):
+    """The LIGHT streaming tier composes with the sharded window: the
+    shard-local light linearization's resident (N,) fields feed the
+    Jacobian-only streamed forming (cross-shard prevs from the halo).
+    Must equal the single-device CLASSIC fused solve."""
+    import dataclasses as dc
+
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, cost1, it1, conv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+        max_num_iter=6,
+    )
+    cfg_l = dc.replace(cfg, stream_chunk=2048, stream_light=True)
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    solve = dist.make_solve_window_sharded(
+        mesh, cfg_l, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=6,
+    )
+    k8, gx8, gy8, cost8, it8, conv8 = solve(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+    assert int(it8) == int(it1)
+    assert bool(conv8) == bool(conv1)
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)

@@ -296,3 +296,53 @@ def test_fused_solver_padded_window_matches(setup):
     np.testing.assert_allclose(float(c2), float(c1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-12)
+
+
+def test_fused_solver_streamed_light_matches_classic(setup):
+    """The LIGHT streaming tier in the fused solver (host loop too) must
+    walk the same LM iterates as the classic path: same accept/reject
+    schedule, same result — the fast tier of two-tier streaming."""
+    import dataclasses as dc
+
+    rng, sensor, scene, cfg = setup
+    steps = np.random.default_rng(7).normal(
+        size=(scene.traj.num_knots, 3)) * 0.015
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj0.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    knots = jnp.asarray(traj0.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, c1, it1, cv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True, max_num_iter=6
+    )
+    cfg_l = dc.replace(cfg, stream_chunk=2048, stream_light=True)
+    k2, gx2, gy2, c2, it2, cv2 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg_l, damping, tolf, fix_first=True,
+        max_num_iter=6,
+    )
+    assert int(it2) == int(it1)
+    assert bool(cv2) == bool(cv1)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-9)
+
+    # host loop, light tier: same final state as the fused light solve
+    k3, gx3, gy3, st = solver.solve_window(
+        knots, Gx, Gy, dev, cfg_l, solver.LMConfig(max_num_iter=6),
+        fix_first=True,
+    )
+    assert st.iterations, "host loop must record per-iteration data"
+    np.testing.assert_allclose(np.asarray(k3), np.asarray(k2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gx3), np.asarray(gx2), atol=1e-9)

@@ -437,3 +437,58 @@ def test_streamed_form_matches_classic(scene):
     x1a, _ = M.solve_normal_eq(neq0, jnp.asarray(1e-3), True)
     x1b, _ = M.solve_normal_eq(neq2, jnp.asarray(1e-3), True)
     np.testing.assert_allclose(np.asarray(x1b), np.asarray(x1a), atol=1e-10)
+
+
+def test_streamed_light_form_matches_classic(scene):
+    """The LIGHT streaming tier (resident (N,) residual fields from a
+    need_deriv=False linearize; Jacobian-only chunk recompute) must
+    reproduce the classic normal equations, including odd chunk sizes and
+    composition with compaction."""
+    import dataclasses as dc
+
+    cfg = make_cfg(scene)
+    traj, win, dev, lut = build_dev(scene, cfg, perturb=0.01)
+    knots = jnp.asarray(traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    nk = traj.num_knots
+
+    lin_full = M.linearize(knots, Gx, Gy, dev, cfg, True)
+    neq0 = M.form_normal_eq(lin_full, Gx, Gy, cfg, nk)
+
+    lin_light = M.linearize(knots, Gx, Gy, dev, cfg, False)
+    assert lin_light.Jc.shape[1] == 0  # truly light: no resident Jacobians
+
+    for sc in (977, 4096):
+        cfg_l = dc.replace(cfg, stream_chunk=sc, stream_light=True)
+        neq1 = M.form_normal_eq_streamed(lin_light, knots, Gx, Gy, dev,
+                                         cfg_l, nk)
+        np.testing.assert_allclose(
+            np.asarray(neq1.A11), np.asarray(neq0.A11), atol=1e-9, rtol=1e-9,
+            err_msg=f"A11 sc={sc}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(neq1.b1), np.asarray(neq0.b1), atol=1e-10,
+            err_msg=f"b1 sc={sc}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(neq1.A12), np.asarray(neq0.A12), atol=1e-9,
+            err_msg=f"A12 sc={sc}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(neq1.a22_xx), np.asarray(neq0.a22_xx), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(neq1.b2_x), np.asarray(neq0.b2_x), atol=1e-10
+        )
+        assert int(neq1.dropped) == 0
+
+    # light tier + compaction compose
+    n_active = int(neq0.active.sum())
+    cfg_lc = dc.replace(cfg, stream_chunk=977, stream_light=True,
+                        compact_cap=n_active + 11)
+    neq2 = M.form_normal_eq_streamed(lin_light, knots, Gx, Gy, dev, cfg_lc,
+                                     nk)
+    x1a, _ = M.solve_normal_eq(neq0, jnp.asarray(1e-3), True)
+    x1b, _ = M.solve_normal_eq(neq2, jnp.asarray(1e-3), True)
+    np.testing.assert_allclose(np.asarray(x1b), np.asarray(x1a), atol=1e-9)
