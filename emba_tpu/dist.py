@@ -526,6 +526,342 @@ def _solve_rowchunks(
     return x1, x2
 
 
+# ---------------------------------------------------------------------------
+# Host-driven sharded LM phases: the same three separately-jitted phases as
+# ``solver.solve_window`` (objective / form / solve+update — each value-fetch
+# timed, with host callbacks between steps) but each phase an SPMD shard_map
+# program over the mesh. This is what gives MULTI-CHIP runs the reference's
+# full recording surface (per-phase chrono solver.cpp:105-151, 181-222,
+# 242-294; saveEvoData solver.cpp:370-425; Np logging solver.cpp:283-293) —
+# the fused sharded window is one opaque device program and can only report
+# its trace.
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_phases(
+    mesh: Mesh,
+    cfg: M.ModelConfig,
+    num_knots: int,
+    num_sensor_pix: int,
+    fix_first: bool = False,
+):
+    """Build the per-phase SPMD programs for the host-driven sharded LM loop.
+
+    Returns ``(prev_src_fn, objective_fn, form_fn, solve_fn)``:
+
+    * ``prev_src_fn(knots, Gx, Gy, dev)`` -> ``(prev_bear (3, N), prev_bid
+      (N,))`` event-sharded — the once-per-window cross-shard prev resolution
+      (state-independent); None when not streaming.
+    * ``objective_fn(knots, Gx, Gy, dev)`` -> ``(lin, cost_data, cost_reg)``
+      with ``lin`` a :class:`model.Linearization` whose per-event fields stay
+      event-sharded on the mesh (classic: full Jacobians; streamed: the
+      light, Jacobian-free linearization) and the costs replicated scalars
+      (data cost psum'd over shards).
+    * ``form_fn(lin, knots, Gx, Gy, dev, prev_bear, prev_bid)`` -> the
+      13-tuple reduced system of ``make_solve_window_sharded``'s
+      ``form_reduce`` as GLOBAL arrays: pose block replicated, map rows
+      chunked over all devices, truncation scalars (Np, psum'd dropped)
+      replicated.
+    * ``solve_fn(red, knots, Gx, Gy, lam, damping)`` ->
+      ``(knots_new, gx_new, gy_new, sync)`` replicated; fetching ``sync``
+      waits for the whole phase (value-fetch timing).
+
+    All four are jitted once per builder call — use
+    :func:`sharded_phases_cached` from loops.
+    """
+    n_ev, n_tile = mesh.shape["ev"], mesh.shape["tile"]
+    n_shards = n_ev * n_tile
+    axes = ("ev", "tile")
+    dim = 3 * num_knots
+    streamed = cfg.stream_chunk is not None
+
+    ev1 = P(("ev", "tile"))
+    ev2 = P(None, ("ev", "tile"))
+    win_specs = (ev2, ev1, ev1, ev1, ev1, P(), P(), ev1)
+    lin_specs = M.Linearization(
+        e=ev1, inlier=ev1, pm_pix=ev1, num_ev_map=P(), dx=ev1, dy=ev1,
+        Jc=ev2, Jp=ev2, i_c=ev1, i_p=ev1,
+    )
+
+    def my_idx():
+        return jax.lax.axis_index("ev") * n_tile + jax.lax.axis_index("tile")
+
+    def win_args(dev_win: M.DeviceWindow):
+        return (
+            dev_win.bearings, dev_win.pol_signed, dev_win.prev_idx,
+            dev_win.has_prev, dev_win.batch_ids, dev_win.batch_s,
+            dev_win.batch_u, dev_win.sensor_pix,
+        )
+
+    def lin_shard(knots, Gx, Gy, w, return_prev_src):
+        return _linearize_sharded(
+            knots, Gx, Gy, *w[:5], w[5], w[6], w[7], cfg, num_sensor_pix,
+            axes, n_shards, my_idx(), not streamed, return_prev_src,
+        )
+
+    # -- phase 0 (streamed only): once-per-window prev resolution -----------
+    prev_src_fn = None
+    if streamed:
+        def prev_shard(knots, Gx, Gy, *w):
+            _, ps = lin_shard(knots, Gx, Gy, w, True)
+            return ps
+
+        prev_sm = _shard_map(
+            prev_shard, mesh=mesh,
+            in_specs=(P(), P(), P()) + win_specs,
+            out_specs=(ev2, ev1),
+        )
+
+        @jax.jit
+        def prev_src_fn(knots, Gx, Gy, dev_win):
+            return prev_sm(knots, Gx, Gy, *win_args(dev_win))
+
+    # -- phase 1: objective (linearize + costs) ------------------------------
+    def obj_shard(knots, Gx, Gy, *w):
+        lin, _ = lin_shard(knots, Gx, Gy, w, False)
+        cost_data = jax.lax.psum(M.data_cost(lin.e, cfg), axes)
+        return lin, cost_data, M.reg_cost(Gx, Gy, cfg.alpha)
+
+    obj_sm = _shard_map(
+        obj_shard, mesh=mesh,
+        in_specs=(P(), P(), P()) + win_specs,
+        out_specs=(lin_specs, P(), P()),
+    )
+
+    @jax.jit
+    def objective_fn(knots, Gx, Gy, dev_win):
+        return obj_sm(knots, Gx, Gy, *win_args(dev_win))
+
+    # -- phase 2: forming + distributed GN reduction -------------------------
+    # (the prev-src halo arrays ride along only in streamed mode — their
+    # pytree slots must be real arrays under shard_map in_specs)
+    def form_shard(knots, Gx, Gy, prev, lin, *w):
+        my = my_idx()
+        reg_scale = (my == 0).astype(Gx.dtype)
+        if streamed:
+            local_dev = M.DeviceWindow(
+                bearings=w[0], pol_signed=w[1], prev_idx=w[2], has_prev=w[3],
+                batch_ids=w[4], batch_s=w[5], batch_u=w[6], sensor_pix=w[7],
+            )
+            aux = lin if cfg.stream_light else lin.num_ev_map
+            neq = M.form_normal_eq_streamed(
+                aux, knots, Gx, Gy, local_dev, cfg, num_knots, reg_scale,
+                prev_bearings=prev[0], prev_bids=prev[1],
+            )
+        else:
+            neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots, reg_scale)
+        r_pad = neq.a22_xx.shape[0]
+        if r_pad % n_shards:
+            raise ValueError(
+                f"map row space {r_pad} not divisible by {n_shards} "
+                "devices (pad TILE_PX / compact_cap)"
+            )
+        rows_c = r_pad // n_shards
+
+        def chunk(x):
+            s = jax.lax.psum(x, axes)
+            return jax.lax.dynamic_slice_in_dim(s, my * rows_c, rows_c, 0)
+
+        return (
+            jax.lax.psum(neq.A11, axes),
+            jax.lax.psum(neq.b1, axes),
+            chunk(neq.a22_xx), chunk(neq.a22_xy), chunk(neq.a22_yy),
+            chunk(neq.b2_x), chunk(neq.b2_y), chunk(neq.A12),
+            jax.lax.dynamic_slice_in_dim(neq.active, my * rows_c, rows_c, 0),
+            neq.pix2row, neq.active_pix, neq.active_count,
+            jax.lax.psum(neq.dropped, axes),
+        )
+
+    prev_specs = (ev2, ev1) if streamed else ()
+    form_sm = _shard_map(
+        form_shard, mesh=mesh,
+        in_specs=(P(), P(), P(), prev_specs, lin_specs) + win_specs,
+        out_specs=(
+            P(), P(), ev1, ev1, ev1, ev1, ev1, P(("ev", "tile"), None),
+            ev1, P(), P(), P(), P(),
+        ),
+    )
+
+    @jax.jit
+    def form_fn(lin, knots, Gx, Gy, dev_win, prev_bear, prev_bid):
+        prev = (prev_bear, prev_bid) if streamed else ()
+        return form_sm(knots, Gx, Gy, prev, lin, *win_args(dev_win))
+
+    # -- phase 3: damped solve + trial state ---------------------------------
+    def solve_shard(A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c,
+                    active_c, pix2row, active_pix, knots, Gx, Gy, lam,
+                    damping):
+        x1, x2 = _solve_rowchunks(
+            A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
+            lam, fix_first, axes, dim,
+        )
+        knots_new = M.update_knots(knots, x1, fix_first)
+        shape = Gx.shape
+        r_pad = x2.shape[1]
+        rows = jnp.minimum(pix2row, r_pad - 1)
+        valid = (pix2row < r_pad) & active_pix
+        act = active_pix.reshape(shape)
+        dxp = jnp.where(valid, x2[0, rows], 0.0).reshape(shape)
+        dyp = jnp.where(valid, x2[1, rows], 0.0).reshape(shape)
+        gx_new = jnp.where(act, Gx + damping * dxp, 0.0)
+        gy_new = jnp.where(act, Gy + damping * dyp, 0.0)
+        sync = x1[0] + gx_new[0, 0] + gy_new[0, 0] + knots_new[0, 0, 0]
+        return knots_new, gx_new, gy_new, sync
+
+    solve_sm = _shard_map(
+        solve_shard, mesh=mesh,
+        in_specs=(
+            P(), P(), ev1, ev1, ev1, ev1, ev1, P(("ev", "tile"), None),
+            ev1, P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+    )
+
+    @jax.jit
+    def solve_fn(red, knots, Gx, Gy, lam, damping):
+        (A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
+         pix2row, active_pix, _np, _dr) = red
+        return solve_sm(
+            A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
+            pix2row, active_pix, knots, Gx, Gy, lam, damping,
+        )
+
+    return prev_src_fn, objective_fn, form_fn, solve_fn
+
+
+_SHARDED_PHASES_CACHE: dict = {}
+
+
+def sharded_phases_cached(mesh, cfg, num_knots, num_sensor_pix, fix_first):
+    """Memoized :func:`make_sharded_phases` (fresh closures are fresh jit
+    cache entries; remote-TPU compiles cost 30-400 s each)."""
+    key = (
+        tuple(d.id for d in mesh.devices.flat),
+        tuple(mesh.shape.items()),
+        cfg, num_knots, num_sensor_pix, fix_first,
+    )
+    fns = _SHARDED_PHASES_CACHE.get(key)
+    if fns is None:
+        fns = _SHARDED_PHASES_CACHE[key] = make_sharded_phases(
+            mesh, cfg, num_knots, num_sensor_pix, fix_first
+        )
+    return fns
+
+
+def solve_window_sharded_host(
+    knots,
+    Gx,
+    Gy,
+    dev_win: M.DeviceWindow,
+    mesh: Mesh,
+    cfg: M.ModelConfig,
+    num_sensor_pix: int,
+    lm_cfg=None,
+    damping_factor: float = 1.0,
+    fix_first: bool = False,
+    callback=None,
+):
+    """Host-driven LM over the sharded window: identical control flow and
+    identical results to ``solver.solve_window`` (reference solveTimeWindow,
+    solver.cpp:11-368) with every device phase an SPMD program over the mesh
+    — so a MULTI-CHIP run gets per-phase value-fetch timing, per-iteration
+    callbacks (evo dumps, saveEvoData parity solver.cpp:370-425) and
+    per-form Np / dropped counters, none of which the fused sharded window
+    can surface mid-flight. ``dev_win`` must be placed with
+    :func:`shard_window_all`. Returns ``(knots, Gx, Gy, LMStats)``.
+    """
+    import time as _time
+
+    from . import lm as lm_mod
+    from . import solver as _solver
+
+    lm_cfg = lm_cfg or _solver.LMConfig()
+    num_knots = knots.shape[0]
+    stats = _solver.LMStats(num_events=int(dev_win.pol_signed.shape[0]))
+    dt = Gx.dtype
+    damping = jnp.asarray(damping_factor, dt)
+
+    prev_src_fn, objective_fn, form_fn, solve_fn = sharded_phases_cached(
+        mesh, cfg, num_knots, num_sensor_pix, fix_first
+    )
+    if prev_src_fn is not None:
+        pb, pbid = prev_src_fn(knots, Gx, Gy, dev_win)
+    else:
+        pb = pbid = None
+
+    sched = lm_mod.HostSchedule(
+        tol_fun=lm_cfg.tol_fun,
+        max_num_iter=lm_cfg.max_num_iter,
+        num_times_tol_fun_sat=lm_cfg.num_times_tol_fun_sat,
+        lam=lm_cfg.lambda_init,
+        lambda_min=lm_cfg.lambda_min,
+        lambda_max=lm_cfg.lambda_max,
+    )
+
+    t_loop0 = _time.perf_counter()
+    t0 = t_loop0
+    lin, cost_data_j, cost_reg_j = objective_fn(knots, Gx, Gy, dev_win)
+    cost_data, cost_reg = float(cost_data_j), float(cost_reg_j)
+    stats.time_objective_s += _time.perf_counter() - t0
+    stats.count_objective += 1
+    sched.start(cost_data + cost_reg)
+
+    red = None
+    while sched.running():
+        if sched.cost_decreased:
+            t0 = _time.perf_counter()
+            red = form_fn(lin, knots, Gx, Gy, dev_win, pb, pbid)
+            dropped = int(red[12])  # value-fetch sync for the phase
+            stats.time_form_s += _time.perf_counter() - t0
+            stats.count_form += 1
+            stats.note_active_pixels(int(red[11]))
+            stats.dropped_meas_per_form.append(dropped)
+
+        if callback is not None:
+            callback(sched.it, Gx, Gy,
+                     dict(lam=sched.lam, cost_min=sched.cost_min))
+
+        t0 = _time.perf_counter()
+        knots_new, gx_new, gy_new, sync = solve_fn(
+            red, knots, Gx, Gy, jnp.asarray(sched.lam, dt), damping
+        )
+        float(sync)
+        t1 = _time.perf_counter()
+        stats.time_solve_s += t1 - t0
+        stats.count_solve += 1
+
+        lin_new, cost_data_new_j, cost_reg_new_j = objective_fn(
+            knots_new, gx_new, gy_new, dev_win
+        )
+        cost_data_new = float(cost_data_new_j)
+        cost_reg_new = float(cost_reg_new_j)
+        stats.time_objective_s += _time.perf_counter() - t1
+        stats.count_objective += 1
+        cost_new = cost_data_new + cost_reg_new
+
+        stats.iterations.append(
+            dict(
+                iter=sched.it + 1,
+                log10_lambda=np.log10(sched.lam),
+                cost_min=sched.cost_min,
+                cost_new=cost_new,
+                cost_data=cost_data,
+                cost_reg=cost_reg,
+            )
+        )
+
+        if sched.step(cost_new):
+            knots, Gx, Gy = knots_new, gx_new, gy_new
+            lin = lin_new
+            cost_data, cost_reg = cost_data_new, cost_reg_new
+            if sched.converged:
+                stats.converged = True
+                break
+
+    stats.time_total_s = _time.perf_counter() - t_loop0
+    return knots, Gx, Gy, stats
+
+
 # make_solve_window_sharded returns a fresh closure (= a fresh jit cache
 # entry) per call; with 30-400 s remote-TPU compiles, calling it inside a
 # window loop makes multi-window runs compile-bound. This memo keys the

@@ -542,6 +542,30 @@ class EmbaPipeline:
                 stats = self._stats_from_trace(
                     win.num_events, n_it, conv, trace, time.perf_counter() - t0
                 )
+            elif use_sharded:
+                # Host-driven sharded loop: recording runs (evo dumps,
+                # per-phase timing, iterations.txt) keep full observability
+                # on multi-chip meshes (reference saveEvoData,
+                # solver.cpp:370-425).
+                from . import dist
+
+                mesh = dist.make_mesh(n_dev, 1)
+                knots, gx_j, gy_j, stats = dist.solve_window_sharded_host(
+                    *dist.replicate(
+                        mesh,
+                        jnp.asarray(seg.knots, self.dtype),
+                        jnp.asarray(self.gx, self.dtype),
+                        jnp.asarray(self.gy, self.dtype),
+                    ),
+                    dist.shard_window_all(dev, mesh),
+                    mesh,
+                    mcfg,
+                    self.camera.width * self.camera.height,
+                    lm,
+                    damping_factor=cfg.damping_factor,
+                    fix_first=first_window,
+                    callback=cb,
+                )
             else:
                 knots, gx_j, gy_j, stats = solver.solve_window(
                     jnp.asarray(seg.knots, self.dtype),

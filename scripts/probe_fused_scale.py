@@ -21,8 +21,11 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
 SC = int(sys.argv[2]) if len(sys.argv) > 2 else 2_097_152
 ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 COMPACT = int(os.environ.get("PROBE_COMPACT_CAP", "0")) or None
+LIGHT = os.environ.get("PROBE_STREAM_LIGHT", "0") == "1"
 
-CACHE = "/root/repo/.cache/bench_s128_p512_n600_t4.8_c0.0125.npz"
+CACHE = os.environ.get(
+    "PROBE_DATASET", "/root/repo/.cache/bench_s128_p512_n600_t4.8_c0.0125.npz"
+)
 
 
 def log(msg):
@@ -57,11 +60,13 @@ traj0 = dataclasses.replace(traj, knots=spline._np_exp(walk) @ knots)
 
 pano_h, pano_w = data["gx"].shape
 cfg = model.ModelConfig(
-    c_th=0.0125, pano_width=pano_w, pano_height=pano_h,
+    c_th=float(os.environ.get("PROBE_C_TH", "0.0125")),
+    pano_width=pano_w, pano_height=pano_h,
     thres_valid_pixel=3, alpha=0.5, outlier_dp_norm=3.0,
     use_pallas=(jax.default_backend() == "tpu"),
     compact_cap=COMPACT,
-    stream_chunk=SC,
+    stream_chunk=SC or None,
+    stream_light=LIGHT,
 )
 log("building window (host pairing)")
 win = pairing.build_window(
@@ -70,7 +75,7 @@ win = pairing.build_window(
 )
 dev = model.DeviceWindow.from_window(
     win, data["bearing_lut"], int(data["sensor_width"]), jnp.float32,
-    pad_multiple=SC,
+    pad_multiple=SC or 1,
 )
 Gx = jnp.asarray(data["gx"], jnp.float32)
 Gy = jnp.asarray(data["gy"], jnp.float32)

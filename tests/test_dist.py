@@ -418,3 +418,73 @@ def test_solve_window_sharded_streamed_light_matches_fused(problem):
     np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
     np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
+
+
+def test_solve_window_sharded_host_matches_host_loop(problem):
+    """The host-driven sharded LM loop (per-phase SPMD programs driven by
+    lm.HostSchedule — the multi-chip recording path) must walk the same
+    iterates as the single-device host loop: same per-iteration records,
+    same Np/dropped per form, same result. Callbacks fire per iteration
+    (reference saveEvoData, solver.cpp:370-425)."""
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    lm_cfg = solver.LMConfig(max_num_iter=6)
+
+    k1, gx1, gy1, st1 = solver.solve_window(
+        knots, Gx, Gy, dev, cfg, lm_cfg, fix_first=True
+    )
+
+    calls = []
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    k8, gx8, gy8, st8 = dist.solve_window_sharded_host(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh),
+        mesh, cfg, NUM_SENSOR_PIX, lm_cfg, fix_first=True,
+        callback=lambda it, gx, gy, info: calls.append((it, info["cost_min"])),
+    )
+    assert len(st8.iterations) == len(st1.iterations)
+    assert calls and calls[0][0] == 0  # per-iteration callbacks fired
+    assert st8.active_px_per_form == st1.active_px_per_form
+    assert st8.dropped_meas_per_form == st1.dropped_meas_per_form
+    for r8, r1 in zip(st8.iterations, st1.iterations):
+        np.testing.assert_allclose(r8["cost_new"], r1["cost_new"], rtol=1e-9)
+        np.testing.assert_allclose(
+            r8["log10_lambda"], r1["log10_lambda"], atol=1e-12
+        )
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-8)
+
+
+def test_solve_window_sharded_host_streamed_light(problem):
+    """Host-driven sharded loop composes with LIGHT-tier streaming (halo
+    prev-src resolved once per window, Jacobian-only chunk recompute on
+    each shard) — equals the single-device classic host loop."""
+    import dataclasses as dc
+
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    lm_cfg = solver.LMConfig(max_num_iter=6)
+
+    k1, gx1, gy1, st1 = solver.solve_window(
+        knots, Gx, Gy, dev, cfg, lm_cfg, fix_first=True
+    )
+
+    cfg_l = dc.replace(cfg, stream_chunk=2048, stream_light=True)
+    mesh = dist.make_mesh(8, 1, jax.devices()[:8])
+    k8, gx8, gy8, st8 = dist.solve_window_sharded_host(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh),
+        mesh, cfg_l, NUM_SENSOR_PIX, lm_cfg, fix_first=True,
+    )
+    assert len(st8.iterations) == len(st1.iterations)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
