@@ -526,6 +526,108 @@ def _solve_rowchunks(
     return x1, x2
 
 
+def _solve_cg_rowchunks(
+    A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c, lam,
+    fix_first: bool, axes, dim: int, max_iter: int = 100, tol=1e-6,
+):
+    """Distributed block-preconditioned CG on the full system: mirrors
+    ``model.solve_normal_eq_cg`` (reference solveNormalEqCG,
+    model.cpp:794-840) with the map rows CHUNKED over devices — the pose
+    vector (x1, p1, r1) stays replicated, the map vectors live as per-device
+    chunks, and every coupling (A12 cross terms, CG dot products) is one
+    psum. The iteration path is identical to the single-device solver (all
+    reduced scalars are replicated), so results match to roundoff."""
+    dt = b1.dtype
+    dp_pad = A12_c.shape[1] // 2
+    Ae = A12_c[:, :dp_pad]
+    Ao = A12_c[:, dp_pad:]
+    col_lo = 3 if fix_first else 0
+    colmask = (
+        (jnp.arange(dp_pad) >= col_lo) & (jnp.arange(dp_pad) < dim)
+    ).astype(dt)
+    if fix_first:
+        m = (jnp.arange(dim) >= 3).astype(dt)
+        A11 = A11 * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        b1 = b1 * m
+    Ae = Ae * colmask[None, :]
+    Ao = Ao * colmask[None, :]
+
+    A11m = A11 + lam * jnp.diag(jnp.diag(A11))
+    axx = axx_c * (1.0 + lam)
+    axy = axy_c
+    ayy = ayy_c * (1.0 + lam)
+    act = active_c.astype(dt)
+
+    def matvec(x1, x2x, x2y):
+        x1_pad = jnp.zeros((dp_pad,), dt).at[:dim].set(x1)
+        cross = jax.lax.psum(x2x @ Ae + x2y @ Ao, axes)
+        y1 = A11m @ x1 + cross[:dim]
+        a22x = axx * x2x + axy * x2y
+        a22y = axy * x2x + ayy * x2y
+        y2x = Ae @ x1_pad + jnp.where(active_c, a22x, x2x)
+        y2y = Ao @ x1_pad + jnp.where(active_c, a22y, x2y)
+        return y1, y2x, y2y
+
+    def dots(u1, v1, u2x, v2x, u2y, v2y):
+        """<u, v> over the full system: replicated pose part + psum'd
+        chunked map part (one scalar psum)."""
+        return jnp.sum(u1 * v1) + jax.lax.psum(
+            jnp.sum(u2x * v2x) + jnp.sum(u2y * v2y), axes
+        )
+
+    b2x = b2x_c * act
+    b2y = b2y_c * act
+    bnorm2 = dots(b1, b1, b2x, b2x, b2y, b2y)
+
+    eps11 = 1e-10 * jnp.maximum(jnp.max(jnp.diag(A11m)), 1.0) + 1e-30
+    chol11 = jax.scipy.linalg.cho_factor(
+        A11m + eps11 * jnp.eye(dim, dtype=dt)
+    )
+    det22 = axx * ayy - axy * axy
+    det22_safe = jnp.where(jnp.abs(det22) < 1e-30, 1.0, det22)
+    inv_ok = active_c & (jnp.abs(det22) >= 1e-30)
+    i00 = jnp.where(inv_ok, ayy / det22_safe, 1.0)
+    i01 = jnp.where(inv_ok, -axy / det22_safe, 0.0)
+    i11 = jnp.where(inv_ok, axx / det22_safe, 1.0)
+
+    def precond(r1, r2x, r2y):
+        z1 = jax.scipy.linalg.cho_solve(chol11, r1)
+        return z1, i00 * r2x + i01 * r2y, i01 * r2x + i11 * r2y
+
+    def body(state):
+        x1, x2x, x2y, r1, r2x, r2y, p1, p2x, p2y, rz, rs, it = state
+        ap1, ap2x, ap2y = matvec(p1, p2x, p2y)
+        denom = dots(p1, ap1, p2x, ap2x, p2y, ap2y)
+        alpha_ = rz / (denom + 1e-300)
+        x1, x2x, x2y = x1 + alpha_ * p1, x2x + alpha_ * p2x, x2y + alpha_ * p2y
+        r1, r2x, r2y = r1 - alpha_ * ap1, r2x - alpha_ * ap2x, r2y - alpha_ * ap2y
+        z1, z2x, z2y = precond(r1, r2x, r2y)
+        rz_new = dots(r1, z1, r2x, z2x, r2y, z2y)
+        rs_new = dots(r1, r1, r2x, r2x, r2y, r2y)
+        beta = rz_new / (rz + 1e-300)
+        return (
+            x1, x2x, x2y, r1, r2x, r2y,
+            z1 + beta * p1, z2x + beta * p2x, z2y + beta * p2y,
+            rz_new, rs_new, it + 1,
+        )
+
+    def cond(state):
+        *_, rs, it = state
+        return (it < max_iter) & (rs > tol * tol * bnorm2)
+
+    z1 = jnp.zeros_like(b1)
+    zx = jnp.zeros_like(b2x)
+    pz1, pz2x, pz2y = precond(b1, b2x, b2y)
+    rz0 = dots(b1, pz1, b2x, pz2x, b2y, pz2y)
+    state = (
+        z1, zx, zx, b1, b2x, b2y, pz1, pz2x, pz2y, rz0, bnorm2, jnp.asarray(0)
+    )
+    x1, x2x, x2y, *_, rs, it = jax.lax.while_loop(cond, body, state)
+    x2_c = jnp.stack([x2x * act, x2y * act], axis=0)
+    x2 = jax.lax.all_gather(x2_c, axes, axis=1, tiled=True)
+    return x1, x2
+
+
 # ---------------------------------------------------------------------------
 # Host-driven sharded LM phases: the same three separately-jitted phases as
 # ``solver.solve_window`` (objective / form / solve+update — each value-fetch
@@ -544,6 +646,7 @@ def make_sharded_phases(
     num_knots: int,
     num_sensor_pix: int,
     fix_first: bool = False,
+    use_cg: bool = False,
 ):
     """Build the per-phase SPMD programs for the host-driven sharded LM loop.
 
@@ -691,7 +794,8 @@ def make_sharded_phases(
     def solve_shard(A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c,
                     active_c, pix2row, active_pix, knots, Gx, Gy, lam,
                     damping):
-        x1, x2 = _solve_rowchunks(
+        solver_fn = _solve_cg_rowchunks if use_cg else _solve_rowchunks
+        x1, x2 = solver_fn(
             A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
             lam, fix_first, axes, dim,
         )
@@ -732,18 +836,19 @@ def make_sharded_phases(
 _SHARDED_PHASES_CACHE: dict = {}
 
 
-def sharded_phases_cached(mesh, cfg, num_knots, num_sensor_pix, fix_first):
+def sharded_phases_cached(mesh, cfg, num_knots, num_sensor_pix, fix_first,
+                          use_cg=False):
     """Memoized :func:`make_sharded_phases` (fresh closures are fresh jit
     cache entries; remote-TPU compiles cost 30-400 s each)."""
     key = (
         tuple(d.id for d in mesh.devices.flat),
         tuple(mesh.shape.items()),
-        cfg, num_knots, num_sensor_pix, fix_first,
+        cfg, num_knots, num_sensor_pix, fix_first, use_cg,
     )
     fns = _SHARDED_PHASES_CACHE.get(key)
     if fns is None:
         fns = _SHARDED_PHASES_CACHE[key] = make_sharded_phases(
-            mesh, cfg, num_knots, num_sensor_pix, fix_first
+            mesh, cfg, num_knots, num_sensor_pix, fix_first, use_cg
         )
     return fns
 
@@ -759,6 +864,7 @@ def solve_window_sharded_host(
     lm_cfg=None,
     damping_factor: float = 1.0,
     fix_first: bool = False,
+    use_cg: bool = False,
     callback=None,
 ):
     """Host-driven LM over the sharded window: identical control flow and
@@ -782,7 +888,7 @@ def solve_window_sharded_host(
     damping = jnp.asarray(damping_factor, dt)
 
     prev_src_fn, objective_fn, form_fn, solve_fn = sharded_phases_cached(
-        mesh, cfg, num_knots, num_sensor_pix, fix_first
+        mesh, cfg, num_knots, num_sensor_pix, fix_first, use_cg
     )
     if prev_src_fn is not None:
         pb, pbid = prev_src_fn(knots, Gx, Gy, dev_win)
@@ -879,6 +985,7 @@ def solve_window_sharded_cached(
     max_num_iter: int = 50,
     num_times_tol_fun_sat: int = 2,
     return_trace: bool = False,
+    use_cg: bool = False,
 ):
     """Memoized :func:`make_solve_window_sharded` (same signature)."""
     key = (
@@ -891,12 +998,13 @@ def solve_window_sharded_cached(
         max_num_iter,
         num_times_tol_fun_sat,
         return_trace,
+        use_cg,
     )
     fn = _SHARDED_WINDOW_CACHE.get(key)
     if fn is None:
         fn = _SHARDED_WINDOW_CACHE[key] = make_solve_window_sharded(
             mesh, cfg, num_knots, num_sensor_pix, fix_first, max_num_iter,
-            num_times_tol_fun_sat, return_trace,
+            num_times_tol_fun_sat, return_trace, use_cg,
         )
     return fn
 
@@ -910,6 +1018,7 @@ def make_solve_window_sharded(
     max_num_iter: int = 50,
     num_times_tol_fun_sat: int = 2,
     return_trace: bool = False,
+    use_cg: bool = False,
 ):
     """The COMPLETE LM time-window solve (reference ``EMBA::solveTimeWindow``,
     solver.cpp:11-368) as one SPMD program over the mesh — accept/reject,
@@ -1055,7 +1164,8 @@ def make_solve_window_sharded(
         def solve_update(red, knots_, gx_, gy_, lam):
             (A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
              pix2row, active_pix, _np, _dr) = red
-            x1, x2 = _solve_rowchunks(
+            solver_fn = _solve_cg_rowchunks if use_cg else _solve_rowchunks
+            x1, x2 = solver_fn(
                 A11, b1, axx_c, axy_c, ayy_c, b2x_c, b2y_c, A12_c, active_c,
                 lam, fix_first, axes, dim,
             )

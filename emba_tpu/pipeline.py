@@ -371,7 +371,9 @@ class EmbaPipeline:
             n_dev = (
                 jax.device_count() if jax.default_backend() == "tpu" else 1
             )
-        use_sharded = n_dev > 1 and not cfg.use_cg
+        # CG composes with sharding (row-chunked distributed CG,
+        # dist._solve_cg_rowchunks) — no single-device fallback.
+        use_sharded = n_dev > 1
 
         # Two-tier auto-streaming (per-DEVICE event count): above ~8M
         # events/device the (D, N) Jacobians stop fitting comfortably ->
@@ -506,6 +508,7 @@ class EmbaPipeline:
                     max_num_iter=cfg.max_num_iter,
                     num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
                     return_trace=True,
+                    use_cg=cfg.use_cg,
                 )
                 knots, gx_j, gy_j, cost_min, n_it, conv, trace = solve(
                     *dist.replicate(
@@ -564,6 +567,7 @@ class EmbaPipeline:
                     lm,
                     damping_factor=cfg.damping_factor,
                     fix_first=first_window,
+                    use_cg=cfg.use_cg,
                     callback=cb,
                 )
             else:

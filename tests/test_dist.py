@@ -488,3 +488,87 @@ def test_solve_window_sharded_host_streamed_light(problem):
     assert len(st8.iterations) == len(st1.iterations)
     np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+
+
+def test_solve_window_sharded_irls_matches_fused(problem):
+    """IRLS (robust cauchy weights, reference formNormalEqIRLS
+    model.cpp:493-687) flows through the sharded window unchanged — weights
+    are per-measurement and shard-local, the robust cost psums. Must equal
+    the single-device fused IRLS solve."""
+    import dataclasses as dc
+
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    cfg_i = dc.replace(cfg, use_irls=True, cost_type="cauchy", eta=0.2)
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, cost1, it1, conv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg_i, damping, tolf, fix_first=True,
+        max_num_iter=6,
+    )
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    solve = dist.make_solve_window_sharded(
+        mesh, cfg_i, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=6,
+    )
+    k8, gx8, gy8, cost8, it8, conv8 = solve(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+    assert int(it8) == int(it1)
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+
+
+def test_solve_window_sharded_cg_matches_single(problem):
+    """Distributed CG (row-chunked matvecs, psum'd dot products —
+    dist._solve_cg_rowchunks; reference solveNormalEqCG model.cpp:794-840):
+    the sharded CG window must match the single-device CG solve. Covers the
+    fused sharded window AND the host-driven sharded loop (no silent
+    Schur-only fallback for use_cg)."""
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+
+    k1, gx1, gy1, cost1, it1, conv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True,
+        use_cg=True, max_num_iter=5,
+    )
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    solve = dist.make_solve_window_sharded(
+        mesh, cfg, scene.traj.num_knots, NUM_SENSOR_PIX, fix_first=True,
+        max_num_iter=5, use_cg=True,
+    )
+    k8, gx8, gy8, cost8, it8, conv8 = solve(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh), damping, tolf,
+    )
+    assert int(it8) == int(it1)
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-6)
+
+    # host-driven sharded loop with CG
+    lm_cfg = solver.LMConfig(max_num_iter=5)
+    k1h, gx1h, gy1h, st1 = solver.solve_window(
+        knots, Gx, Gy, dev, cfg, lm_cfg, fix_first=True, use_cg=True
+    )
+    kh, gxh, gyh, sth = dist.solve_window_sharded_host(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh),
+        mesh, cfg, NUM_SENSOR_PIX, lm_cfg, fix_first=True, use_cg=True,
+    )
+    assert len(sth.iterations) == len(st1.iterations)
+    np.testing.assert_allclose(np.asarray(kh), np.asarray(k1h), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gxh), np.asarray(gx1h), atol=1e-6)
