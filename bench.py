@@ -197,6 +197,7 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         # form/solve/objective are separate value-fetch-synced jitted calls
         # from the host-driven loop; "total" is the fused one-program wall.
         phases["sync"] = "value-fetch"
+        roofline = _roofline(data, cfg, k0, Gx, Gy, dev, stats, wall, n, n_it)
         return dict(
             num_events=n,
             lm_iterations=n_it,
@@ -204,6 +205,7 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
             events_per_s=phases,
             cost_first=stats.iterations[0]["cost_min"],
             cost_last=cost_last,
+            roofline=roofline,
         )
 
     # Warm up ALL jitted phases with a 1-iteration throwaway solve
@@ -229,6 +231,108 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         cost_first=stats.iterations[0]["cost_min"],
         cost_last=stats.iterations[-1]["cost_min"],
     )
+
+
+# Dense matmul peak FLOP/s per chip generation (public spec sheets; bf16
+# MXU peak — the Pallas forming kernel and XLA GEMMs run bf16 multiplies
+# with f32 accumulation, so this is the relevant ceiling).
+PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5e": 197e12,
+    "v5 lite": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+
+
+def _roofline(data, cfg, k0, Gx, Gy, dev, stats, fused_wall, n, n_it_fused):
+    """MFU / roofline estimate (BASELINE.md asks for hardware utilization,
+    not only a CPU-relative speedup): per-phase FLOPs from XLA's OWN cost
+    model on the exact compiled phase programs (``compiled.cost_analysis()``
+    — the actual HLO, so kernel/layout changes are tracked automatically),
+    multiplied by the host-loop phase counts and divided by the measured
+    walls, against the chip's dense-matmul peak.
+
+    Returns None when the backend exposes no cost analysis."""
+    import jax
+
+    from emba_tpu import model as M
+    from emba_tpu import solver
+
+    def flops_of(lowered):
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+
+    try:
+        num_knots = k0.shape[0]
+        streamed = cfg.stream_chunk is not None
+        if streamed:
+            lin = M.linearize(k0, Gx, Gy, dev, cfg, False)
+            aux = lin if cfg.stream_light else lin.num_ev_map
+            f_form = flops_of(M.form_normal_eq_streamed.lower(
+                aux, k0, Gx, Gy, dev, cfg, num_knots
+            ))
+            if cfg.stream_light:
+                f_obj = flops_of(solver._init_costs_light.lower(
+                    k0, Gx, Gy, dev, cfg
+                ))
+            else:
+                pb, pbid = M.prev_records(dev)
+                f_obj = flops_of(solver._init_costs_streamed.lower(
+                    k0, Gx, Gy, dev, cfg, pb, pbid
+                ))
+            neq = M.form_normal_eq_streamed(aux, k0, Gx, Gy, dev, cfg,
+                                            num_knots)
+        else:
+            lin = M.linearize(k0, Gx, Gy, dev, cfg, True)
+            f_form = flops_of(M.form_normal_eq.lower(lin, Gx, Gy, cfg,
+                                                     num_knots))
+            f_obj = flops_of(solver._init_costs.lower(k0, Gx, Gy, dev, cfg))
+            neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
+        import jax.numpy as jnp
+
+        lam = jnp.asarray(1e-3, Gx.dtype)
+        f_solve = flops_of(solver._solve_update.lower(
+            k0, Gx, Gy, neq, lam, jnp.asarray(1.0, Gx.dtype), True, False
+        ))
+
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next(
+            (v for k, v in PEAK_FLOPS.items() if k in kind), 197e12
+        )
+        # exact over the host loop (known per-phase counts AND walls)
+        total_flops = (
+            f_form * stats.count_form
+            + f_solve * stats.count_solve
+            + f_obj * stats.count_objective
+        )
+        host_wall = (
+            stats.time_form_s + stats.time_solve_s + stats.time_objective_s
+        )
+        mfu_host = total_flops / host_wall / peak if host_wall > 0 else None
+        # the fused loop runs the same phase programs inside one while_loop;
+        # scale the host loop's average per-iteration FLOPs by the fused
+        # iteration count over the fused wall (estimate: the fused accept/
+        # reject path differs by at most one forming pass)
+        per_iter = total_flops / max(stats.count_objective, 1)
+        mfu_fused = per_iter * n_it_fused / fused_wall / peak
+        return dict(
+            flops_form=f_form,
+            flops_solve=f_solve,
+            flops_objective=f_obj,
+            flops_per_event_per_iter=per_iter / n,
+            device_kind=jax.devices()[0].device_kind,
+            peak_flops=peak,
+            mfu_host_loop=mfu_host,
+            mfu_fused_est=mfu_fused,
+            note="FLOPs from XLA cost_analysis of the exact compiled phase "
+            "programs; peak = dense-MXU spec for the chip",
+        )
+    except Exception as e:  # noqa: BLE001
+        _log(f"roofline unavailable: {e}")
+        return None
 
 
 def main():
@@ -303,6 +407,7 @@ def main():
                     "cpu_baseline_events_per_s": baseline_eps,
                     "cost_first": res["cost_first"],
                     "cost_last": res["cost_last"],
+                    "roofline": res.get("roofline"),
                 },
             }
         )

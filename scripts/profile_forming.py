@@ -174,6 +174,39 @@ def main():
     except Exception as ex:  # noqa: BLE001
         res["form_streamed_error"] = repr(ex)[:300]
 
+    # streamed LIGHT forming (resident (N,) residual fields from a
+    # need_deriv=False linearize; Jacobian-only chunk recompute)
+    cfg_sl = dataclasses.replace(cfg_s, stream_light=True)
+    lin_light = lin_nd(knots, Gx, Gy)
+
+    @jax.jit
+    def form_sl(lin_l, knots, Gx, Gy):
+        return _consume(
+            M.form_normal_eq_streamed(lin_l, knots, Gx, Gy, dev, cfg_sl, nk)
+        )
+
+    try:
+        res["form_streamed_light_s"] = timed(form_sl, lin_light, knots, Gx, Gy)
+    except Exception as ex:  # noqa: BLE001
+        res["form_streamed_light_error"] = repr(ex)[:300]
+
+    # objective variants: chunked zero-residency vs one-pass light
+    @jax.jit
+    def obj_streamed(knots, Gx, Gy):
+        cd, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg_s)
+        return cd + nem[::31].sum().astype(cd.dtype)
+
+    @jax.jit
+    def obj_light(knots, Gx, Gy):
+        lin_l = M.linearize(knots, Gx, Gy, dev, cfg, False)
+        return M.data_cost(lin_l.e, cfg) + lin_l.e[::31].sum()
+
+    res["objective_streamed_s"] = timed(obj_streamed, knots, Gx, Gy)
+    res["objective_light_s"] = timed(obj_light, knots, Gx, Gy)
+
+    for k, v in sorted(res.items()):
+        if k.endswith("_s") and isinstance(v, float):
+            res[k.replace("_s", "_events_per_s")] = n / v
     print(json.dumps(res, indent=2))
 
 
