@@ -69,6 +69,13 @@ class BAConfig:
     # per-iteration logs/timings are unavailable. Auto-selected by the
     # pipeline when not recording data.
     fused_lm: bool | None = None
+    # Largest per-device event count the fused while_loop window is allowed
+    # to take: beyond it the pipeline falls back to the host-driven LM loop
+    # and records the decision in runtime.json (lm_mode). Fused windows are
+    # validated to 32M events/device on v5e; 64M reproducibly kills the
+    # remote TPU worker (docs/STATUS.md) even though the compiled footprint
+    # fits — the host loop runs 64M fine. Raise at your own risk.
+    fused_event_cap: int = 48_000_000
     # Active-pixel compaction: solve only the observed map pixels (row cap;
     # None = full pixel grid). Essential for 4K+ panoramas where <10% of the
     # grid is ever observed — shrinks A12/A22 and the map-side GEMMs by the

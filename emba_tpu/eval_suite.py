@@ -65,7 +65,13 @@ def run_sequence(
     dtype=None,
     max_events: int = 4_000_000,
     stream_over: int = 8_000_000,
+    stream: bool | None = None,
+    stream_light: bool = False,
+    compact_cap: int | None = None,
 ) -> dict:
+    """``stream``: force streamed forming on/off (None = auto by event count
+    vs ``stream_over``); ``stream_light`` picks the resident-light tier.
+    ``compact_cap`` enables active-pixel compaction (4K-pano rows)."""
     if dtype is None:
         dtype = jnp.float32
     rng = np.random.default_rng(seed)
@@ -107,8 +113,12 @@ def run_sequence(
 
         rate = int(np.ceil(len(scene.t) / max_events))
         ev = systematic_subsample(*ev, rate)
-    if len(ev[0]) > stream_over:
-        cfg = dataclasses.replace(cfg, stream_chunk=1 << 20)
+    if stream if stream is not None else len(ev[0]) > stream_over:
+        cfg = dataclasses.replace(
+            cfg, stream_chunk=1 << 20, stream_light=stream_light
+        )
+    if compact_cap:
+        cfg = dataclasses.replace(cfg, compact_cap=compact_cap)
 
     # front-end-like perturbation: smooth random walk on the knots
     steps = rng.normal(size=(scene.traj.num_knots, 3)) * perturb

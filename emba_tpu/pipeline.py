@@ -492,6 +492,17 @@ class EmbaPipeline:
                 if cfg.fused_lm is not None
                 else not self.record_data
             )
+            # Fused-window fence (docs/STATUS.md): the fused while_loop
+            # program reproducibly kills the remote TPU worker at 64M
+            # events/device even though its compiled footprint fits; the
+            # host-driven loop handles that scale. Fall back automatically
+            # and record the decision (runtime.json lm_mode).
+            fused_fallback = (
+                fused
+                and win.num_events / max(1, n_dev) > cfg.fused_event_cap
+            )
+            if fused_fallback:
+                fused = False
             if fused and use_sharded:
                 from . import dist
 
@@ -583,6 +594,11 @@ class EmbaPipeline:
                     use_cg=cfg.use_cg,
                     callback=cb,
                 )
+            stats.lm_mode = (
+                ("fused-sharded" if fused else "host-sharded")
+                if use_sharded
+                else ("fused" if fused else "host")
+            ) + ("(fused-cap-fallback)" if fused_fallback else "")
             self.gx, self.gy = np.asarray(gx_j), np.asarray(gy_j)
             seg = dataclasses.replace(seg, knots=np.asarray(knots, np.float64))
             self.traj.replace_with(seg, seg.num_knots, 0, idx_cp_beg)
@@ -690,6 +706,9 @@ class EmbaPipeline:
             # previous window's solve, so wait << prep from window 2 on).
             "window_prep_s": getattr(self, "_prep_s", []),
             "window_prep_wait_s": getattr(self, "_prep_wait_s", []),
+            # LM execution mode per window (fused / host / sharded variants;
+            # "(fused-cap-fallback)" marks the fused->host safety fence)
+            "lm_mode": [st.lm_mode for st in window_stats],
             "events_per_second": window_stats[-1].events_per_second()
             if window_stats
             else {},

@@ -82,6 +82,10 @@ class LMStats:
     overflow_active_pixels: int = 0
     converged: bool = False
     sync_method: str = "value-fetch"
+    # Execution mode this window ran under (pipeline.py: fused / host /
+    # fused-sharded / host-sharded, "+(fused-cap-fallback)" when the fused
+    # event cap forced the host loop).
+    lm_mode: str = ""
 
     @property
     def num_active_pixels(self) -> int:

@@ -63,7 +63,8 @@ cfg = model.ModelConfig(
     c_th=float(os.environ.get("PROBE_C_TH", "0.0125")),
     pano_width=pano_w, pano_height=pano_h,
     thres_valid_pixel=3, alpha=0.5, outlier_dp_norm=3.0,
-    use_pallas=(jax.default_backend() == "tpu"),
+    use_pallas=(jax.default_backend() == "tpu"
+                and os.environ.get("PROBE_USE_PALLAS", "1") == "1"),
     compact_cap=COMPACT,
     stream_chunk=SC or None,
     stream_light=LIGHT,

@@ -544,3 +544,33 @@ def test_evo_dumps_sharded_multidevice(dataset, tmp_path):
     assert all(v > 0 for v in rt["phases_s"].values())
     assert all(n > 0 for n in rt["num_active_pixels"][0])
     assert all(d == 0 for d in rt["dropped_measurements"][0])
+
+
+def test_fused_event_cap_fallback(dataset, tmp_path):
+    """Windows beyond fused_event_cap events/device must fall back to the
+    host-driven LM loop automatically (the fused while_loop kills the remote
+    TPU worker at 64M events — docs/STATUS.md) and record the decision in
+    runtime.json lm_mode."""
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.02, stop_time=0.4, c_th=0.1, alpha=0.5, max_num_iter=3,
+        dt_knots=0.05, dtype="float64", fused_lm=True, num_devices=1,
+        fused_event_cap=100,  # far below the window's event count
+    )
+    out = tmp_path / "cap"
+    res = EmbaPipeline(
+        cfg, load_camera_yaml(str(dataset / "calib.yaml")),
+        (t, x, y, pol), times, rots, init_gx=gx, init_gy=gy,
+        result_dir=str(out), record_data=True,
+    ).run()
+    assert res.window_stats[0].lm_mode == "host(fused-cap-fallback)"
+    rt = json.load(open(out / "final_results" / "runtime.json"))
+    assert rt["lm_mode"][0] == "host(fused-cap-fallback)"
+    # host loop ran: per-phase timing is real
+    assert rt["phases_s"]["form"] > 0
