@@ -154,19 +154,28 @@ def _constrain_neq(mesh: Mesh, neq: M.NormalEq) -> M.NormalEq:
 
 
 def make_sharded_step(mesh: Mesh, cfg: M.ModelConfig, num_knots: int, fix_first: bool):
-    """Build the jitted full BA step (linearize -> normal eq -> Schur solve ->
-    state update -> trial cost) with GSPMD shardings over the mesh.
+    """VALIDATION-ONLY GSPMD path — not the production multi-chip entry.
 
-    Returns step(knots, Gx, Gy, dev_win, lam) ->
-      (knots_new, Gx_new, Gy_new, cost_new, lin_new-cost-pieces).
+    Build the jitted full BA step (linearize -> normal eq -> Schur solve ->
+    state update -> trial cost) with GSPMD shardings over the mesh: inputs
+    carry ``NamedSharding``s and ``with_sharding_constraint`` steers XLA's
+    partitioner. Its value is cross-checking the explicit shard_map layer —
+    two independent distribution mechanisms must agree bit-for-bit
+    (``tests/test_dist.py``) — and exercising the compiler-driven route in
+    ``dryrun_multichip``.
 
-    The Pallas A12 kernel is a single-device program that GSPMD cannot
-    auto-partition, so THIS builder always uses the XLA scatter path; the
-    production multi-chip path (``make_solve_window_sharded``) runs the
-    kernel shard-locally under ``shard_map``. Active-pixel compaction
+    It is NOT wired into the pipeline and is NOT performance-representative:
+    the Pallas A12 kernel is a single-device program GSPMD cannot
+    auto-partition, so THIS builder always uses the (~4x slower) XLA scatter
+    producer. Production multi-chip runs go through
+    ``make_solve_window_sharded`` / ``solve_window_sharded_host``, which run
+    the kernel shard-locally under ``shard_map``. Active-pixel compaction
     (``cfg.compact_cap``) is honored: the compact row space is a global
     cumsum over the psum'd activity map, which GSPMD partitions like any
-    other op (equivalence: ``tests/test_dist.py``).
+    other op.
+
+    Returns step(knots, Gx, Gy, dev_win, lam) ->
+      (knots_new, Gx_new, Gy_new, cost_old, cost_new).
     """
     import dataclasses as _dc
 

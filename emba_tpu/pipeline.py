@@ -378,9 +378,12 @@ class EmbaPipeline:
         # Two-tier auto-streaming (per-DEVICE event count): above ~8M
         # events/device the (D, N) Jacobians stop fitting comfortably ->
         # chunk-recomputed forming (exact equivalence). The LIGHT tier
-        # (resident (N,) residual fields, Jacobian-only recompute — the
-        # fast path) up to ~32M events/device; the zero-residency FULL
-        # tier beyond (10^8-event single-chip windows).
+        # (resident (N,) residual fields, Jacobian-only recompute) is
+        # auto-picked up to ~16M events/device — beyond that its resident
+        # fields + the carried reduced system OOM the fused program
+        # (measured: a 23M-event fused light window OOMs on v5e at a
+        # 1024x512 pano; docs/STATUS.md); the zero-residency FULL tier
+        # covers the 10^8-event single-chip windows.
         per_dev = len(self.t) / max(1, n_dev)
         if cfg.stream_chunk is None and per_dev > 8_000_000:
             mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
@@ -388,7 +391,7 @@ class EmbaPipeline:
             light = (
                 cfg.stream_light
                 if cfg.stream_light is not None
-                else per_dev <= 32_000_000
+                else per_dev <= 16_000_000
             )
             mcfg = dataclasses.replace(mcfg, stream_light=light)
 
