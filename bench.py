@@ -274,15 +274,10 @@ def _roofline(data, cfg, k0, Gx, Gy, dev, stats, fused_wall, n, n_it_fused):
             f_form = flops_of(M.form_normal_eq_streamed.lower(
                 aux, k0, Gx, Gy, dev, cfg, num_knots
             ))
-            if cfg.stream_light:
-                f_obj = flops_of(solver._init_costs_light.lower(
-                    k0, Gx, Gy, dev, cfg
-                ))
-            else:
-                pb, pbid = M.prev_records(dev)
-                f_obj = flops_of(solver._init_costs_streamed.lower(
-                    k0, Gx, Gy, dev, cfg, pb, pbid
-                ))
+            pb, pbid = M.prev_records(dev)
+            obj_fn = (solver._init_costs_light if cfg.stream_light
+                      else solver._init_costs_streamed)
+            f_obj = flops_of(obj_fn.lower(k0, Gx, Gy, dev, cfg, pb, pbid))
             neq = M.form_normal_eq_streamed(aux, k0, Gx, Gy, dev, cfg,
                                             num_knots)
         else:

@@ -799,7 +799,7 @@ def _make_stream_chunk_fn(
             gmaps, cfg,
         )
         if not need_deriv:
-            return e_c, inl_c, pmp_c
+            return e_c, inl_c, pmp_c, ic_c, ip_c, dx_c, dy_c
         gx_c, gy_c = g_at[0], g_at[1]
         # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
         tx = gx_c + dx_c * g_at[2] + dy_c * g_at[3]
@@ -905,12 +905,70 @@ def cost_and_activity_streamed(
 
     def body(c, carry):
         cost, nem = carry
-        e_c, inl_c, pmp_c = pieces(c)
+        e_c, inl_c, pmp_c = pieces(c)[:3]
         nem = nem.at[pmp_c].add(inl_c.astype(jnp.int32), mode="drop")
         return cost + data_cost(e_c, cfg), nem
 
     init = (jnp.zeros((), dt), jnp.zeros((cfg.num_pix,), jnp.int32))
     return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def linearize_streamed_light(
+    knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    prev_bearings=None, prev_bids=None,
+):
+    """Chunk-streamed LIGHT linearization + cost: the objective pass of the
+    light streaming tier. Produces the same (N,)-resident light
+    :class:`Linearization` as ``linearize(..., need_deriv=False)`` —
+    bit-identical via the shared ``_pair_residual`` core — but computed in
+    ``cfg.stream_chunk`` slices, which runs ~2x faster at 10^7 events than
+    the one-pass version (the one-pass round-trips every (N,)-sized
+    intermediate through HBM; the chunked loop keeps them cache-resident and
+    only writes the seven retained fields). Returns ``(lin, cost_data)``.
+    """
+    dt = Gx.dtype
+    sc = cfg.stream_chunk
+    n = dev.pol_signed.shape[0]
+    _, n_chunks, pieces = _make_stream_chunk_fn(
+        knots, Gx, Gy, dev, cfg, False, prev_bearings, prev_bids
+    )
+    n_pad = n_chunks * sc
+
+    def body(c, carry):
+        cost, nem, e, inl, pmp, ic, ip, dx, dy = carry
+        e_c, inl_c, pmp_c, ic_c, ip_c, dx_c, dy_c = pieces(c)
+
+        def upd(a, v):
+            return jax.lax.dynamic_update_slice_in_dim(a, v, c * sc, 0)
+
+        nem = nem.at[pmp_c].add(inl_c.astype(jnp.int32), mode="drop")
+        return (
+            cost + data_cost(e_c, cfg), nem, upd(e, e_c), upd(inl, inl_c),
+            upd(pmp, pmp_c), upd(ic, ic_c), upd(ip, ip_c), upd(dx, dx_c),
+            upd(dy, dy_c),
+        )
+
+    init = (
+        jnp.zeros((), dt),
+        jnp.zeros((cfg.num_pix,), jnp.int32),
+        jnp.zeros((n_pad,), dt),
+        jnp.zeros((n_pad,), bool),
+        jnp.zeros((n_pad,), jnp.int32),
+        jnp.zeros((n_pad,), jnp.int32),
+        jnp.zeros((n_pad,), jnp.int32),
+        jnp.zeros((n_pad,), dt),
+        jnp.zeros((n_pad,), dt),
+    )
+    cost, nem, e, inl, pmp, ic, ip, dx, dy = jax.lax.fori_loop(
+        0, n_chunks, body, init
+    )
+    zeros_d = jnp.zeros((cfg.dim_block, 0), dt)
+    lin = Linearization(
+        e=e[:n], inlier=inl[:n], pm_pix=pmp[:n], num_ev_map=nem,
+        dx=dx[:n], dy=dy[:n], Jc=zeros_d, Jp=zeros_d, i_c=ic[:n], i_p=ip[:n],
+    )
+    return lin, cost
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_knots"))

@@ -70,9 +70,10 @@ def _one(n_events):
     knots = jnp.asarray(traj0.knots, jnp.float32)
     nk = traj0.num_knots
 
-    lin = jax.jit(lambda k, gx, gy: M.linearize(k, gx, gy, dev, cfg, True))(
-        knots, Gx, Gy
-    )
+    # M.linearize is module-level jitted: dev rides as an ARGUMENT (closing
+    # over it bakes the window into the HLO as a constant -> the remote
+    # compile service rejects the request beyond a few M events)
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, True)
     _ = float(lin.pm_pix[0])
 
     @jax.jit

@@ -492,3 +492,38 @@ def test_streamed_light_form_matches_classic(scene):
     x1a, _ = M.solve_normal_eq(neq0, jnp.asarray(1e-3), True)
     x1b, _ = M.solve_normal_eq(neq2, jnp.asarray(1e-3), True)
     np.testing.assert_allclose(np.asarray(x1b), np.asarray(x1a), atol=1e-9)
+
+
+def test_linearize_streamed_light_matches_onepass(scene):
+    """The chunk-streamed light linearization (the light tier's objective
+    pass) must equal the one-pass need_deriv=False linearize bit-for-bit —
+    both run the shared _pair_residual core; only the evaluation order
+    differs."""
+    import dataclasses as dc
+
+    cfg = make_cfg(scene)
+    traj, win, dev, lut = build_dev(scene, cfg, perturb=0.01)
+    knots = jnp.asarray(traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+
+    ref = M.linearize(knots, Gx, Gy, dev, cfg, False)
+    ref_cost = M.data_cost(ref.e, cfg)
+
+    for sc in (977, 4096):
+        cfg_s = dc.replace(cfg, stream_chunk=sc, stream_light=True)
+        lin, cost = M.linearize_streamed_light(knots, Gx, Gy, dev, cfg_s)
+        np.testing.assert_array_equal(np.asarray(lin.e), np.asarray(ref.e))
+        np.testing.assert_array_equal(
+            np.asarray(lin.inlier), np.asarray(ref.inlier)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lin.pm_pix), np.asarray(ref.pm_pix)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lin.num_ev_map), np.asarray(ref.num_ev_map)
+        )
+        np.testing.assert_array_equal(np.asarray(lin.i_c), np.asarray(ref.i_c))
+        np.testing.assert_array_equal(np.asarray(lin.i_p), np.asarray(ref.i_p))
+        np.testing.assert_array_equal(np.asarray(lin.dx), np.asarray(ref.dx))
+        np.testing.assert_allclose(float(cost), float(ref_cost), rtol=1e-12)
