@@ -238,7 +238,7 @@ def _cmd_synth(args):
 
 def _cmd_eval(args):
     from . import io as eio
-    from . import metrics, spline
+    from . import metrics
 
     t_est, r_est = eio.load_tum_trajectory(args.traj)
     t_gt, r_gt = eio.load_tum_trajectory(args.gt)

@@ -68,10 +68,14 @@ def run_sequence(
     stream: bool | None = None,
     stream_light: bool = False,
     compact_cap: int | None = None,
+    outlier_dp: float = 3.0,
 ) -> dict:
     """``stream``: force streamed forming on/off (None = auto by event count
     vs ``stream_over``); ``stream_light`` picks the resident-light tier.
-    ``compact_cap`` enables active-pixel compaction (4K-pano rows)."""
+    ``compact_cap`` enables active-pixel compaction (4K-pano rows).
+    ``outlier_dp``: pairing-displacement outlier cut in PANO PIXELS — scale
+    with pano resolution (3 px at 512-high is 12 px at 2048-high; the
+    reference uses 10 px at 1024, model.cpp:200)."""
     if dtype is None:
         dtype = jnp.float32
     rng = np.random.default_rng(seed)
@@ -99,7 +103,7 @@ def run_sequence(
         pano_height=pano_height,
         thres_valid_pixel=3,
         alpha=0.5,
-        outlier_dp_norm=3.0,
+        outlier_dp_norm=outlier_dp,
         use_pallas=(jax.default_backend() == "tpu" and dtype == jnp.float32),
     )
     # Systematic subsampling to a memory budget (the reference's

@@ -41,12 +41,13 @@ for name in ("ecrot_bicycle_like", "ecrot_city_like", "ecd_poster_like"):
               f"-> {r['photometric_refined']:.1f} | {r['wall_s']:.1f}s",
               flush=True)
 
-# 3) one 4K-panorama row with active-pixel compaction
+# 3) one 4K-panorama row with active-pixel compaction (outlier cut scaled
+#    with pano resolution: 3 px at 512-high -> 12 px at 2048-high)
 seed, motion, smooth, amp, duration = ES.ECROT_LIKE["ecrot_bicycle_like"]
 r = ES.run_sequence(
     "ecrot_bicycle_like:4k_compact", seed, motion, smooth, amp, duration,
     pano_height=2048, sensor=240, sensor_h=180, c_th=0.2, perturb=0.005,
-    max_iter=30, num_steps=1500, compact_cap=1 << 20,
+    max_iter=30, num_steps=1500, compact_cap=1 << 20, outlier_dp=12.0,
 )
 results.append(r)
 print(f"{r['sequence']}: rmse {r['rmse_init_deg']:.3f} -> "
