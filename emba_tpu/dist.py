@@ -1096,8 +1096,12 @@ def make_solve_window_sharded(
         # cross-shard prev bearings/batch-ids are STATE-INDEPENDENT (the
         # pairing and the halo fold winner depend only on event order):
         # resolve them through the halo ONCE, reuse every LM iteration.
+        # The bearings flatten to 1-D before crossing the while_loop — a
+        # (3, nl) f32 intermediate alive across it draws a transposed remat
+        # copy whose (8,128) tiling pads the 3-dim 42.7x (model.prev_records)
         if streamed:
             _, prev_src = lin_full(knots, Gx, Gy, True)
+            prev_src = (prev_src[0].reshape(-1), prev_src[1])
         else:
             prev_src = None
 

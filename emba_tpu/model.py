@@ -683,10 +683,17 @@ def prev_records(dev: DeviceWindow):
     so doing it once and handing the result to the streamed passes (which
     then read contiguous chunk slices) removes a random gather from every
     chunk of every objective/forming pass of every iteration. Costs
-    16 B/event of extra residency (1 GB at 64M events)."""
+    16 B/event of extra residency (1 GB at 64M events).
+
+    The bearings come back FLAT (3N,) — row-major [x row | y row | z row] —
+    not (3, N): a (3, N) f32 intermediate living across the fused LM
+    while_loop gets a transposed remat/compression copy from XLA whose
+    (8,128) tiling pads the 3-dim to 128 (42.7x -> 8 GB at 16M events, a
+    compile-time OOM); a 1-D buffer cannot be transpose-padded. The chunk
+    fns accept either layout."""
     pb = jnp.take(dev.bearings, dev.prev_idx, axis=1)
     pbid = jnp.take(dev.batch_ids, dev.prev_idx)
-    return pb, pbid
+    return pb.reshape(-1), pbid
 
 
 def _make_stream_chunk_fn(
@@ -741,13 +748,23 @@ def _make_stream_chunk_fn(
     hp_pd = pad1(dev.has_prev, False)
     have_prev_src = prev_bearings is not None
     if have_prev_src:
-        if pad == 0:
-            pb_pd, pbid_pd = prev_bearings, prev_bids
-        else:
-            pb_pd = jnp.pad(
-                prev_bearings, ((0, 0), (0, pad))
-            ).at[2, n:].set(1.0)
-            pbid_pd = pad1(prev_bids)
+        # normalize prev bearings to FLAT (3 * n_pad,) row-major — a (3, N)
+        # f32 intermediate living across the fused LM while_loop draws a
+        # transposed remat copy padded 42.7x (see prev_records); the sharded
+        # halo path still hands (3, nl)
+        pb_flat = (
+            prev_bearings.reshape(-1)
+            if prev_bearings.ndim == 2
+            else prev_bearings
+        )
+        if pad:
+            pb_flat = (
+                jnp.pad(pb_flat.reshape(3, n), ((0, 0), (0, pad)))
+                .at[2, n:].set(1.0)
+                .reshape(-1)
+            )
+        pbid_pd = pad1(prev_bids)
+        n_pd = n + pad
     else:
         prev_pd = pad1(dev.prev_idx)
     bid_pd = pad1(dev.batch_ids)
@@ -778,8 +795,15 @@ def _make_stream_chunk_fn(
             R_b, J_b, dev.batch_s, sl(bid_pd), sl(bear_pd).astype(dt),
             cfg.pano, order, need_deriv,
         )
-        if have_prev_src:  # pre-resolved prevs (sharded path): contiguous
-            b_p = sl(pb_pd).astype(dt)
+        if have_prev_src:  # pre-resolved prevs: contiguous flat-row slices
+            b_p = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(
+                        pb_flat, k * n_pd + c * sc, sc
+                    )
+                    for k in range(3)
+                ]
+            ).astype(dt)
             bid_p = sl(pbid_pd)
         elif merge_prev:
             prev_c = sl(prev_pd)
@@ -855,20 +879,40 @@ def _make_stream_chunk_fn_light(
     ic_pd, ip_pd = pad1(lin.i_c), pad1(lin.i_p)
     bid_pd = pad1(dev.batch_ids)
     bear_pd = padb(dev.bearings)
-    pb_pd = padb(prev_bearings)
+    # prev bearings FLAT (3 * n_pd,) — see prev_records / the full chunk fn
+    # (a (3, N) intermediate across the fused while_loop draws a transposed
+    # remat copy padded 42.7x); sharded halo still hands (3, nl)
+    pb_flat = (
+        prev_bearings.reshape(-1)
+        if prev_bearings.ndim == 2
+        else prev_bearings
+    )
+    if pad:
+        pb_flat = (
+            jnp.pad(pb_flat.reshape(3, n), ((0, 0), (0, pad)))
+            .at[2, n:].set(1.0)
+            .reshape(-1)
+        )
     pbid_pd = pad1(prev_bids)
+    n_pd = n + pad
 
     def pieces(c):
         def sl(a):
             return jax.lax.dynamic_slice_in_dim(a, c * sc, sc, axis=-1)
 
+        pb_c = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(pb_flat, k * n_pd + c * sc, sc)
+                for k in range(3)
+            ]
+        )
         # Jacobian-only recompute: curr warp + prev re-warp
         _, _, dpm_c = warp.warp_from_tables(
             R_b, J_b, dev.batch_s, sl(bid_pd), sl(bear_pd).astype(dt),
             cfg.pano, order, True,
         )
         _, _, dpm_p = warp.warp_from_tables(
-            R_b, J_b, dev.batch_s, sl(pbid_pd), sl(pb_pd).astype(dt),
+            R_b, J_b, dev.batch_s, sl(pbid_pd), pb_c.astype(dt),
             cfg.pano, order, True,
         )
         e_c, inl_c, pmp_c = sl(e_pd), sl(inl_pd), sl(pmp_pd)

@@ -42,12 +42,17 @@ for name in ("ecrot_bicycle_like", "ecrot_city_like", "ecd_poster_like"):
               flush=True)
 
 # 3) one 4K-panorama row with active-pixel compaction (outlier cut scaled
-#    with pano resolution: 3 px at 512-high -> 12 px at 2048-high)
+#    with pano resolution: 3 px at 512-high -> 12 px at 2048-high). A 4K
+#    map needs event DENSITY: at the classic rows' 4M-event subsample the
+#    8.4M-pixel grid averages <1 event/pixel and thres_valid_pixel kills
+#    the pose system (the poster's 4K maps come from 10^8-event streams) —
+#    so this row runs 16M events through streamed forming.
 seed, motion, smooth, amp, duration = ES.ECROT_LIKE["ecrot_bicycle_like"]
 r = ES.run_sequence(
     "ecrot_bicycle_like:4k_compact", seed, motion, smooth, amp, duration,
     pano_height=2048, sensor=240, sensor_h=180, c_th=0.2, perturb=0.005,
-    max_iter=30, num_steps=1500, compact_cap=1 << 20, outlier_dp=12.0,
+    max_iter=30, num_steps=1500, compact_cap=1 << 21, outlier_dp=12.0,
+    max_events=16_000_000, stream=True,
 )
 results.append(r)
 print(f"{r['sequence']}: rmse {r['rmse_init_deg']:.3f} -> "
