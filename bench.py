@@ -145,7 +145,7 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         # (fast, to ~32M events/device); FULL is zero-O(N)-residency.
         stream_light=(os.environ["BENCH_STREAM_LIGHT"] == "1"
                       if "BENCH_STREAM_LIGHT" in os.environ
-                      else n <= 32_000_000),
+                      else n <= 16_000_000),
     )
     win = pairing.build_window(
         data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],

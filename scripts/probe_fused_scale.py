@@ -100,12 +100,17 @@ try:
 except Exception as e:  # noqa: BLE001
     log(f"memory analysis unavailable: {e}")
 
-for rep in range(2):  # rep 0 absorbs first-execution effects
+walls = []
+for rep in range(4):  # rep 0 absorbs first-execution effects
     log(f"executing (rep {rep})")
     t0 = time.perf_counter()
     out = compiled(k0, Gx, Gy, dev, damping, tolf)
     cost = float(out[3])
     n_it = int(out[4])
     wall = time.perf_counter() - t0
+    if rep:
+        walls.append(wall)
     log(f"executed in {wall:.1f}s: cost_min={cost:.6g} iters={n_it} "
         f"-> {N * n_it / wall / 1e6:.2f}M ev/s")
+med = sorted(walls)[len(walls) // 2]
+log(f"median warm: {med:.1f}s -> {N * n_it / med / 1e6:.2f}M ev/s")
