@@ -140,12 +140,9 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         # 10^7-10^8-event windows; also usable at smaller scales.
         stream_chunk=(int(os.environ["BENCH_STREAM_CHUNK"])
                       if "BENCH_STREAM_CHUNK" in os.environ else None),
-        # Streaming tier (mirrors the pipeline auto-select): LIGHT keeps the
-        # (N,) residual fields resident and chunk-recomputes only Jacobians
-        # (fast, to ~32M events/device); FULL is zero-O(N)-residency.
-        stream_light=(os.environ["BENCH_STREAM_LIGHT"] == "1"
-                      if "BENCH_STREAM_LIGHT" in os.environ
-                      else n <= 16_000_000),
+        # Streaming tier (mirrors the pipeline default: zero-residency FULL
+        # — the measured-faster tier at every scale; see pipeline.run).
+        stream_light=os.environ.get("BENCH_STREAM_LIGHT") == "1",
     )
     win = pairing.build_window(
         data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],

@@ -311,9 +311,10 @@ def main(argv=None):
     )
     r.add_argument(
         "--stream-light", dest="stream_light", type=int, choices=(0, 1),
-        help="streaming tier: 1 = light (resident residual fields, "
-        "Jacobian-only recompute; fastest to ~32M events/device), 0 = full "
-        "(zero O(N) residency); default auto by per-device event count",
+        help="streaming tier: 0 = full (zero O(N) residency; the measured-"
+        "fastest default), 1 = light (resident residual fields, Jacobian-"
+        "only recompute; equivalence-tested, slower on v5e and HBM-capped "
+        "near ~16M events/device)",
     )
     r.add_argument(
         "--num-devices", dest="num_devices", type=int,

@@ -86,10 +86,11 @@ class BAConfig:
     # accumulation instead of holding (D, N) arrays. None = auto (enabled
     # above ~8M events/device); 0 disables.
     stream_chunk: int | None = None
-    # Streaming tier: True = LIGHT (resident (N,) residual fields,
-    # Jacobian-only chunk recompute — fastest, to ~32M events/device);
-    # False = FULL (zero O(N) residency, 10^8-event windows); None = auto
-    # by per-device event count.
+    # Streaming tier: False/None = FULL (zero O(N) residency — the measured
+    # default at every scale, 10^8-event windows); True = LIGHT (resident
+    # (N,) residual fields, Jacobian-only chunk recompute — equivalence-
+    # tested but measured slower on v5e and HBM-capped near ~16M
+    # events/device; see docs/STATUS.md).
     stream_light: bool | None = None
     # Multi-chip: number of devices for the sharded LM window (None = auto:
     # all local devices when >1; 1 = force single-device). The window is

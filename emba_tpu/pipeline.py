@@ -375,25 +375,23 @@ class EmbaPipeline:
         # dist._solve_cg_rowchunks) — no single-device fallback.
         use_sharded = n_dev > 1
 
-        # Two-tier auto-streaming (per-DEVICE event count): above ~8M
-        # events/device the (D, N) Jacobians stop fitting comfortably ->
-        # chunk-recomputed forming (exact equivalence). The LIGHT tier
-        # (resident (N,) residual fields, Jacobian-only recompute) is
-        # auto-picked up to ~16M events/device — beyond that its resident
-        # fields + the carried reduced system OOM the fused program
-        # (measured: a 23M-event fused light window OOMs on v5e at a
-        # 1024x512 pano; docs/STATUS.md); the zero-residency FULL tier
-        # covers the 10^8-event single-chip windows.
+        # Auto-streaming (per-DEVICE event count): above ~8M events/device
+        # the (D, N) Jacobians stop fitting comfortably -> chunk-recomputed
+        # forming (exact equivalence). The tier default is the
+        # zero-residency FULL tier at every scale: measured on v5e
+        # (docs/STATUS.md), the resident-LIGHT tier is slower at 2M
+        # (5.0M vs 6.6M ev/s — its retained-field writes outweigh the
+        # skipped residual recompute), within noise at 16M (5.15M vs
+        # 5.03M) where its fused temps barely fit HBM (16.2 of 15.75 GB),
+        # and OOMs beyond. stream_light stays as an explicit,
+        # equivalence-tested knob.
         per_dev = len(self.t) / max(1, n_dev)
         if cfg.stream_chunk is None and per_dev > 8_000_000:
             mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
-        if mcfg.stream_chunk is not None:
-            light = (
-                cfg.stream_light
-                if cfg.stream_light is not None
-                else per_dev <= 16_000_000
+        if mcfg.stream_chunk is not None and cfg.stream_light is not None:
+            mcfg = dataclasses.replace(
+                mcfg, stream_light=bool(cfg.stream_light)
             )
-            mcfg = dataclasses.replace(mcfg, stream_light=light)
 
         auto_cap = mcfg.compact_cap is None
         if auto_cap:
