@@ -320,7 +320,10 @@ def _roofline(data, cfg, k0, Gx, Gy, dev, stats, fused_wall, n, n_it_fused):
             mfu_host_loop=mfu_host,
             mfu_fused_est=mfu_fused,
             note="FLOPs from XLA cost_analysis of the exact compiled phase "
-            "programs; peak = dense-MXU spec for the chip",
+            "programs; peak = dense-MXU spec for the chip. Caveat: the "
+            "Pallas accumulation kernel is an opaque custom call whose "
+            "GEMMs the cost model does NOT count, so forming FLOPs (and "
+            "thus MFU) are underestimated when use_pallas is on.",
         )
     except Exception as e:  # noqa: BLE001
         _log(f"roofline unavailable: {e}")

@@ -572,3 +572,33 @@ def test_solve_window_sharded_cg_matches_single(problem):
     assert len(sth.iterations) == len(st1.iterations)
     np.testing.assert_allclose(np.asarray(kh), np.asarray(k1h), atol=1e-7)
     np.testing.assert_allclose(np.asarray(gxh), np.asarray(gx1h), atol=1e-6)
+
+
+def test_solve_window_sharded_host_streamed_full(problem):
+    """Host-driven sharded loop, zero-residency FULL streaming tier (the
+    production default for large windows): shard-local chunk-recomputed
+    forming from the psum'd activity map — equals the single-device classic
+    host loop."""
+    import dataclasses as dc
+
+    from emba_tpu import solver
+
+    scene, cfg, dev = problem
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    lm_cfg = solver.LMConfig(max_num_iter=6)
+
+    k1, gx1, gy1, st1 = solver.solve_window(
+        knots, Gx, Gy, dev, cfg, lm_cfg, fix_first=True
+    )
+    cfg_s = dc.replace(cfg, stream_chunk=2048, stream_light=False)
+    mesh = dist.make_mesh(4, 2, jax.devices()[:8])
+    k8, gx8, gy8, st8 = dist.solve_window_sharded_host(
+        *dist.replicate(mesh, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh),
+        mesh, cfg_s, NUM_SENSOR_PIX, lm_cfg, fix_first=True,
+    )
+    assert len(st8.iterations) == len(st1.iterations)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
