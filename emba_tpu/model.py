@@ -796,14 +796,14 @@ def _make_stream_chunk_fn(
             cfg.pano, order, need_deriv,
         )
         if have_prev_src:  # pre-resolved prevs: contiguous flat-row slices
-            b_p = jnp.stack(
-                [
-                    jax.lax.dynamic_slice_in_dim(
-                        pb_flat, k * n_pd + c * sc, sc
-                    )
-                    for k in range(3)
-                ]
-            ).astype(dt)
+            # a TUPLE of rows, not a stacked (3, sc) array: the stack
+            # materializes a per-chunk copy XLA does not fuse away
+            b_p = tuple(
+                jax.lax.dynamic_slice_in_dim(
+                    pb_flat, k * n_pd + c * sc, sc
+                ).astype(dt)
+                for k in range(3)
+            )
             bid_p = sl(pbid_pd)
         elif merge_prev:
             prev_c = sl(prev_pd)
@@ -900,11 +900,12 @@ def _make_stream_chunk_fn_light(
         def sl(a):
             return jax.lax.dynamic_slice_in_dim(a, c * sc, sc, axis=-1)
 
-        pb_c = jnp.stack(
-            [
-                jax.lax.dynamic_slice_in_dim(pb_flat, k * n_pd + c * sc, sc)
-                for k in range(3)
-            ]
+        # tuple of flat-row slices (a stacked (3, sc) copy would materialize)
+        pb_c = tuple(
+            jax.lax.dynamic_slice_in_dim(
+                pb_flat, k * n_pd + c * sc, sc
+            ).astype(dt)
+            for k in range(3)
         )
         # Jacobian-only recompute: curr warp + prev re-warp
         _, _, dpm_c = warp.warp_from_tables(
@@ -912,7 +913,7 @@ def _make_stream_chunk_fn_light(
             cfg.pano, order, True,
         )
         _, _, dpm_p = warp.warp_from_tables(
-            R_b, J_b, dev.batch_s, sl(pbid_pd), pb_c.astype(dt),
+            R_b, J_b, dev.batch_s, sl(pbid_pd), pb_c,
             cfg.pano, order, True,
         )
         e_c, inl_c, pmp_c = sl(e_pd), sl(inl_pd), sl(pmp_pd)

@@ -91,13 +91,16 @@ def warp_from_tables(
     R9 = jnp.take(
         jnp.moveaxis(R_b.reshape(-1, 9), -1, 0), batch_ids, axis=1
     )  # (9, N)
-    R = [[R9[3 * i + j] for j in range(3)] for i in range(3)]
+    # ``bearings`` may be a (3, N) array or a 3-tuple of (N,) rows — the
+    # streamed chunk fns hand separate flat-row slices to avoid
+    # materializing a stacked per-chunk copy
     bx, by, bz = bearings[0], bearings[1], bearings[2]
+    R = [[R9[3 * i + j] for j in range(3)] for i in range(3)]
     x = R[0][0] * bx + R[0][1] * by + R[0][2] * bz
     y = R[1][0] * bx + R[1][1] * by + R[1][2] * bz
     z = R[2][0] * bx + R[2][1] * by + R[2][2] * bz
 
-    dtype = bearings.dtype
+    dtype = bx.dtype
     rho2 = x * x + y * y + z * z
     rho = jnp.sqrt(rho2)
     fx = jnp.asarray(pano.fx, dtype)

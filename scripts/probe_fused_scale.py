@@ -84,19 +84,6 @@ k0 = jnp.asarray(traj0.knots, jnp.float32)
 damping = jnp.asarray(1.0, jnp.float32)
 tolf = jnp.asarray(0.0, jnp.float32)
 
-if os.environ.get("PROBE_PREV_2D") == "1":
-    # A/B diagnostic: hand the chunk fns the OLD (3, N) prev-bearing layout
-    # (risks the 42.7x transposed remat copy — see model.prev_records)
-    _orig_prev_records = model.prev_records
-
-    def _prev2d(dev_):
-        pb, pbid = _orig_prev_records(dev_)
-        return pb.reshape(3, -1), pbid
-
-    model.prev_records = _prev2d
-    solver.M.prev_records = _prev2d
-    log("PROBE_PREV_2D=1: using (3, N) prev-bearing layout")
-
 log("lowering fused program")
 t0 = time.perf_counter()
 lowered = solver.solve_window_fused.lower(

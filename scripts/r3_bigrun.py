@@ -53,7 +53,7 @@ cam = sensor
 cfg = BAConfig(
     start_time=0.0, stop_time=4.8, c_th=0.0125, alpha=0.5,
     dt_knots=0.05, max_num_iter=10, dtype="float32",
-    window_size=1.2, sliding_window_stride=1.2,  # 4 windows x ~50M events
+    time_window_size=1.2, sliding_window_stride=1.2,  # 4 x ~50M events
     # ask for fused: each ~50M-event window exceeds fused_event_cap (48M),
     # so the fence must route every window to the host loop and record it
     fused_lm=True,
