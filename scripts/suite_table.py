@@ -32,7 +32,7 @@ lines = [
     "RMSE — the front-end error range of the paper's CMax-SLAM inits).",
     "`:stream_full` / `:stream_light` rows run the SAME problem through the",
     "two streamed-forming tiers (accuracy must match classic); the",
-    "`:4k_compact` row uses active-pixel compaction (cap 2^20) and a",
+    "`:4k_compact` row uses active-pixel compaction (cap 2^21) and a",
     "resolution-scaled 12 px outlier cut. Regenerate:",
     "`python scripts/r3_suite.py` (TPU) + `python scripts/suite_table.py`.",
     "",
