@@ -72,10 +72,14 @@ class BAConfig:
     # Largest per-device event count the fused while_loop window is allowed
     # to take: beyond it the pipeline falls back to the host-driven LM loop
     # and records the decision in runtime.json (lm_mode). Fused windows are
-    # validated to 32M events/device on v5e; 64M reproducibly kills the
-    # remote TPU worker (docs/STATUS.md) even though the compiled footprint
-    # fits — the host loop runs 64M fine. Raise at your own risk.
-    fused_event_cap: int = 48_000_000
+    # repeatedly validated to 32M events/device on v5e; 40M and 48M passed
+    # one isolated probe each, but a 48.0M-event pipeline window crashed the
+    # remote TPU worker (docs/fused_64m_probe_r3.md), as 64M does
+    # reproducibly — even though the compiled footprint fits. The host loop
+    # runs 64M+ fine at near-identical throughput at these scales, so the
+    # default stays at the repeatedly-validated boundary. Raise at your own
+    # risk.
+    fused_event_cap: int = 32_000_000
     # Active-pixel compaction: solve only the observed map pixels (row cap;
     # None = full pixel grid). Essential for 4K+ panoramas where <10% of the
     # grid is ever observed — shrinks A12/A22 and the map-side GEMMs by the
