@@ -375,18 +375,32 @@ class EmbaPipeline:
         # dist._solve_cg_rowchunks) — no single-device fallback.
         use_sharded = n_dev > 1
 
-        # Auto-streaming (per-DEVICE event count): above ~8M events/device
-        # the (D, N) Jacobians stop fitting comfortably -> chunk-recomputed
-        # forming (exact equivalence). The tier default is the
-        # zero-residency FULL tier at every scale: measured on v5e
-        # (docs/STATUS.md), the resident-LIGHT tier is slower at 2M
-        # (5.0M vs 6.6M ev/s — its retained-field writes outweigh the
-        # skipped residual recompute), within noise at 16M (5.15M vs
-        # 5.03M) where its fused temps barely fit HBM (16.2 of 15.75 GB),
-        # and OOMs beyond. stream_light stays as an explicit,
-        # equivalence-tested knob.
-        per_dev = len(self.t) / max(1, n_dev)
-        if cfg.stream_chunk is None and per_dev > 8_000_000:
+        # Auto-streaming (per-DEVICE event count of the LARGEST window —
+        # exact: events are time-sorted, so per-window counts are two
+        # searchsorteds): the classic resident-(D, N)-linearization path is
+        # the fastest LM iteration wherever it fits (measured v5e,
+        # 1024x512: 16M classic fused 6.58M ev/s vs streamed 5.03M; 24M
+        # classic OOMs), so stream only beyond 16M events/device — 8M when
+        # the map row space exceeds 2^20 rows (a 4K-pano A12 leaves less
+        # HBM for the linearization; that combination is unvalidated).
+        # The tier default is the zero-residency FULL tier at every
+        # streamed scale: measured on v5e (docs/STATUS.md), the
+        # resident-LIGHT tier is slower at 2M (5.0M vs 6.6M ev/s — its
+        # retained-field writes outweigh the skipped residual recompute),
+        # within noise at 16M (5.15M vs 5.03M) where its fused temps barely
+        # fit HBM (16.2 of 15.75 GB), and OOMs beyond. stream_light stays
+        # as an explicit, equivalence-tested knob.
+        edges_beg = np.arange(self.t_ba_beg, self.t_ba_end, self.win_stride)
+        max_win_events = int(
+            np.max(
+                np.searchsorted(self.t, edges_beg + self.win_size + 1e-3)
+                - np.searchsorted(self.t, edges_beg - 1e-3)
+            )
+        ) if len(edges_beg) else len(self.t)
+        per_dev = max_win_events / max(1, n_dev)
+        rows = mcfg.compact_cap or (mcfg.pano_width * mcfg.pano_height)
+        classic_cap = 16_000_000 if rows <= (1 << 20) else 8_000_000
+        if cfg.stream_chunk is None and per_dev > classic_cap:
             mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
         if mcfg.stream_chunk is not None and cfg.stream_light is not None:
             mcfg = dataclasses.replace(
