@@ -86,6 +86,77 @@ def count_active_pixels(knots, gx, gy, dev, mcfg) -> int:
     return int(_count_active_device(knots, gx, gy, dev, cfg))
 
 
+# Auto-stream thresholds (events/device): the classic resident-(D, N)-
+# linearization path is the fastest LM iteration wherever it fits (measured
+# v5e, 1024x512: 16M classic fused 6.58M ev/s vs streamed 5.03M; 24M classic
+# OOMs), so stream only beyond 16M events/device — 8M when the map row space
+# exceeds 2^20 rows (a 4K-pano A12 leaves less HBM for the linearization;
+# that combination is unvalidated).
+CLASSIC_CAP_SMALL_ROWS = 16_000_000
+CLASSIC_CAP_LARGE_ROWS = 8_000_000
+ROWS_SMALL = 1 << 20
+
+
+def plan_model_config(
+    mcfg: model.ModelConfig,
+    cfg: BAConfig,
+    t: np.ndarray,
+    t_ba_beg: float,
+    t_ba_end: float,
+    win_size: float,
+    win_stride: float,
+    n_dev: int,
+    classic_cap_small: int = CLASSIC_CAP_SMALL_ROWS,
+    classic_cap_large: int = CLASSIC_CAP_LARGE_ROWS,
+):
+    """Pre-run model-config planning: auto compaction cap, then the
+    auto-stream decision keyed on the LARGEST running window's per-device
+    event count and the POST-compaction map row space.
+
+    The largest-window count is exact: events are time-sorted, so each
+    window's count is two searchsorteds, and only window starts whose window
+    actually RUNS (the run loop requires t_win_end < t_ba_end + 1e-3) enter
+    the max. The streamed tier default is the zero-residency FULL tier at
+    every streamed scale: measured on v5e (docs/STATUS.md), the
+    resident-LIGHT tier is slower at 2M (5.0M vs 6.6M ev/s — its
+    retained-field writes outweigh the skipped residual recompute), within
+    noise at 16M where its fused temps barely fit HBM, and OOMs beyond.
+    ``stream_light`` stays as an explicit, equivalence-tested knob.
+
+    Returns ``(mcfg, auto_cap)`` — ``auto_cap`` True when the compaction cap
+    was auto-chosen (the run loop then retunes it per window).
+    """
+    # Compaction first: the classic/stream decision keys on the
+    # post-compaction row space (an auto-compacted 4K pano solves in a
+    # <= 2^20-row space and deserves the larger classic cap).
+    auto_cap = mcfg.compact_cap is None
+    if auto_cap:
+        cap = auto_compact_cap(
+            mcfg.pano_width * mcfg.pano_height, len(t),
+            mcfg.thres_valid_pixel,
+        )
+        if cap is not None:
+            mcfg = dataclasses.replace(mcfg, compact_cap=cap)
+    auto_cap = auto_cap and mcfg.compact_cap is not None
+
+    edges_beg = np.arange(t_ba_beg, t_ba_end, win_stride)
+    edges_beg = edges_beg[edges_beg + win_size < t_ba_end + 1e-3]
+    max_win_events = int(
+        np.max(
+            np.searchsorted(t, edges_beg + win_size + 1e-3)
+            - np.searchsorted(t, edges_beg - 1e-3)
+        )
+    ) if len(edges_beg) else len(t)
+    per_dev = max_win_events / max(1, n_dev)
+    rows = mcfg.compact_cap or (mcfg.pano_width * mcfg.pano_height)
+    classic_cap = classic_cap_small if rows <= ROWS_SMALL else classic_cap_large
+    if cfg.stream_chunk is None and per_dev > classic_cap:
+        mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
+    if mcfg.stream_chunk is not None and cfg.stream_light is not None:
+        mcfg = dataclasses.replace(mcfg, stream_light=bool(cfg.stream_light))
+    return mcfg, auto_cap
+
+
 def systematic_subsample(t, x, y, pol, rate: int):
     """Keep every ``rate``-th event (reference ``emba.cpp:282-304``)."""
     if rate < 2:
@@ -375,48 +446,10 @@ class EmbaPipeline:
         # dist._solve_cg_rowchunks) — no single-device fallback.
         use_sharded = n_dev > 1
 
-        # Auto-streaming (per-DEVICE event count of the LARGEST window —
-        # exact: events are time-sorted, so per-window counts are two
-        # searchsorteds): the classic resident-(D, N)-linearization path is
-        # the fastest LM iteration wherever it fits (measured v5e,
-        # 1024x512: 16M classic fused 6.58M ev/s vs streamed 5.03M; 24M
-        # classic OOMs), so stream only beyond 16M events/device — 8M when
-        # the map row space exceeds 2^20 rows (a 4K-pano A12 leaves less
-        # HBM for the linearization; that combination is unvalidated).
-        # The tier default is the zero-residency FULL tier at every
-        # streamed scale: measured on v5e (docs/STATUS.md), the
-        # resident-LIGHT tier is slower at 2M (5.0M vs 6.6M ev/s — its
-        # retained-field writes outweigh the skipped residual recompute),
-        # within noise at 16M (5.15M vs 5.03M) where its fused temps barely
-        # fit HBM (16.2 of 15.75 GB), and OOMs beyond. stream_light stays
-        # as an explicit, equivalence-tested knob.
-        edges_beg = np.arange(self.t_ba_beg, self.t_ba_end, self.win_stride)
-        max_win_events = int(
-            np.max(
-                np.searchsorted(self.t, edges_beg + self.win_size + 1e-3)
-                - np.searchsorted(self.t, edges_beg - 1e-3)
-            )
-        ) if len(edges_beg) else len(self.t)
-        per_dev = max_win_events / max(1, n_dev)
-        rows = mcfg.compact_cap or (mcfg.pano_width * mcfg.pano_height)
-        classic_cap = 16_000_000 if rows <= (1 << 20) else 8_000_000
-        if cfg.stream_chunk is None and per_dev > classic_cap:
-            mcfg = dataclasses.replace(mcfg, stream_chunk=1 << 21)
-        if mcfg.stream_chunk is not None and cfg.stream_light is not None:
-            mcfg = dataclasses.replace(
-                mcfg, stream_light=bool(cfg.stream_light)
-            )
-
-        auto_cap = mcfg.compact_cap is None
-        if auto_cap:
-            cap = auto_compact_cap(
-                mcfg.pano_width * mcfg.pano_height,
-                len(self.t),
-                mcfg.thres_valid_pixel,
-            )
-            if cap is not None:
-                mcfg = dataclasses.replace(mcfg, compact_cap=cap)
-        auto_cap = auto_cap and mcfg.compact_cap is not None
+        mcfg, auto_cap = plan_model_config(
+            mcfg, cfg, self.t, self.t_ba_beg, self.t_ba_end, self.win_size,
+            self.win_stride, n_dev,
+        )
 
         t_win_beg = self.t_ba_beg
         t_win_end = t_win_beg + self.win_size

@@ -6,12 +6,14 @@ window prep prefetch, auto-streaming tiers, the fused_event_cap fence
 (windows ~50M events/device fall back to the host loop and record it),
 adaptive compaction, checkpointing, and runtime.json observability.
 
-Usage (TPU): python scripts/r3_bigrun.py [out_dir]
-Writes a trimmed runtime summary to docs/run_203m_r3.json.
+Usage (TPU): python scripts/r4_bigrun.py [out_dir]
+Writes a trimmed runtime summary to docs/run_203m_r4.json (the committed
+artifact behind STATUS.md's 203M scale-table row).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,7 +25,7 @@ os.environ.setdefault(
 
 import numpy as np  # noqa: E402
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/emba_bigrun"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/emba_bigrun_r4"
 DATA = os.path.join(REPO, ".cache", "bench_s128_p512_n600_t4.8_c0.0125.npz")
 
 z = np.load(DATA)
@@ -55,8 +57,8 @@ cfg = BAConfig(
     dt_knots=0.05, max_num_iter=10, dtype="float32",
     time_window_size=1.2, sliding_window_stride=1.2,  # 4 x ~50M events
     # ask for fused: each ~50M-event window exceeds the 32M/device
-    # fused_event_cap default, so the fence must route every window to the
-    # host loop and record it
+    # fused_event_cap default (emba_tpu/config.py), so the fence must route
+    # every window to the host loop and record it
     fused_lm=True,
 )
 pipe = EmbaPipeline(
@@ -68,8 +70,13 @@ t0 = time.perf_counter()
 res = pipe.run()
 wall = time.perf_counter() - t0
 
+head = subprocess.run(
+    ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+    capture_output=True, text=True,
+).stdout.strip()
 rt = json.load(open(os.path.join(OUT, "final_results", "runtime.json")))
 summary = dict(
+    git_head=head,
     num_events=int(len(t)),
     windows=len(res.window_stats),
     window_events=[st.num_events for st in res.window_stats],
@@ -87,6 +94,6 @@ summary = dict(
         / sum(st.time_total_s for st in res.window_stats)
     ),
 )
-with open(os.path.join(REPO, "docs", "run_203m_r3.json"), "w") as f:
+with open(os.path.join(REPO, "docs", "run_203m_r4.json"), "w") as f:
     json.dump(summary, f, indent=2)
 print(json.dumps(summary, indent=2), flush=True)

@@ -401,6 +401,59 @@ def test_retune_compact_cap():
     assert retune_compact_cap(1 << 20, hw, hw) == hw
 
 
+def test_plan_model_config_auto_stream():
+    """The auto-stream decision (pipeline.plan_model_config): keyed on the
+    LARGEST RUNNING window's per-device event count, using the
+    POST-compaction row space for the classic-cap choice."""
+    import emba_tpu.config as C
+    from emba_tpu import model
+    from emba_tpu.pipeline import plan_model_config
+
+    cfg = C.BAConfig()
+    mcfg = model.ModelConfig(pano_width=128, pano_height=64)
+
+    # events concentrated in the second half of [0, 1]
+    t = np.concatenate([np.linspace(0.0, 0.5, 100, endpoint=False),
+                        np.linspace(0.5, 1.0, 900)])
+
+    # win_size=0.8, stride=0.5: the [0.5, 1.3] window never runs (end >
+    # t_ba_end); only [0, 0.8] (~640 events) enters the max. cap=700 =>
+    # streaming must stay OFF (the never-run window alone has ~900).
+    m, _ = plan_model_config(mcfg, cfg, t, 0.0, 1.0, 0.8, 0.5, 1,
+                             classic_cap_small=700, classic_cap_large=700)
+    assert m.stream_chunk is None
+    # cap below the largest RUNNING window => streaming ON
+    m, _ = plan_model_config(mcfg, cfg, t, 0.0, 1.0, 0.8, 0.5, 1,
+                             classic_cap_small=500, classic_cap_large=500)
+    assert m.stream_chunk is not None
+
+    # multi-device divides the per-device count
+    m, _ = plan_model_config(mcfg, cfg, t, 0.0, 1.0, 0.8, 0.5, 4,
+                             classic_cap_small=500, classic_cap_large=500)
+    assert m.stream_chunk is None
+
+    # degenerate span (no running window at all): fall back to len(t)
+    m, _ = plan_model_config(mcfg, cfg, t, 0.0, 0.1, 0.8, 0.5, 1,
+                             classic_cap_small=900, classic_cap_large=900)
+    assert m.stream_chunk is not None  # len(t)=1000 > 900
+
+    # explicit user stream_chunk is honored, never overridden
+    cfg_s = C.BAConfig(stream_chunk=1 << 10)
+    m, _ = plan_model_config(cfg_s.model_config(), cfg_s, t, 0.0, 1.0, 0.8,
+                             0.5, 1, classic_cap_small=10**9,
+                             classic_cap_large=10**9)
+    assert m.stream_chunk == 1 << 10
+
+    # POST-compaction row space picks the classic cap: a 4K pano auto-
+    # compacts to <= 2^20 rows, so the SMALL-rows (larger) cap applies
+    mcfg4k = model.ModelConfig(pano_width=4096, pano_height=2048)
+    m, auto_cap = plan_model_config(mcfg4k, cfg, t, 0.0, 1.0, 0.8, 0.5, 1,
+                                    classic_cap_small=1000,
+                                    classic_cap_large=100)
+    assert auto_cap and m.compact_cap == 4096
+    assert m.stream_chunk is None  # 640 < 1000 (small-rows cap applied)
+
+
 def test_pipeline_adaptive_compaction(dataset, monkeypatch):
     """Auto-compaction end-to-end: force the auto cap on the small test pano
     and check the compacted two-window run matches the full-grid run; the
