@@ -96,6 +96,13 @@ class BAConfig:
     # tested but measured slower on v5e and HBM-capped near ~16M
     # events/device; see docs/STATUS.md).
     stream_light: bool | None = None
+    # Mid-window LM checkpointing (recording runs, host-driven loops): write
+    # the full LM resume state (current knots/maps, lambda, iteration,
+    # cost_min, tol counter) into checkpoint.npz every N LM iterations, so
+    # an interrupted hours-long window resumes BIT-exactly with --resume
+    # (SURVEY.md §5). 0 disables. Fused while_loop windows checkpoint at
+    # window boundaries only (one device program, no host re-entry).
+    lm_checkpoint_every: int = 10
     # Multi-chip: number of devices for the sharded LM window (None = auto:
     # all local devices when >1; 1 = force single-device). The window is
     # solved by dist.make_solve_window_sharded over an (n, 1) mesh with

@@ -875,6 +875,9 @@ def solve_window_sharded_host(
     fix_first: bool = False,
     use_cg: bool = False,
     callback=None,
+    checkpoint_cb=None,
+    checkpoint_every: int = 0,
+    resume_state: dict | None = None,
 ):
     """Host-driven LM over the sharded window: identical control flow and
     identical results to ``solver.solve_window`` (reference solveTimeWindow,
@@ -884,6 +887,11 @@ def solve_window_sharded_host(
     per-form Np / dropped counters, none of which the fused sharded window
     can surface mid-flight. ``dev_win`` must be placed with
     :func:`shard_window_all`. Returns ``(knots, Gx, Gy, LMStats)``.
+
+    ``checkpoint_cb`` / ``checkpoint_every`` / ``resume_state``: mid-window
+    LM checkpointing with the same contract as ``solver.solve_window`` —
+    resumed runs are bit-identical (state restored exactly; linearization
+    and normal equations re-derived deterministically).
     """
     import time as _time
 
@@ -912,6 +920,19 @@ def solve_window_sharded_host(
         lambda_min=lm_cfg.lambda_min,
         lambda_max=lm_cfg.lambda_max,
     )
+    if resume_state is not None:
+        knots, Gx, Gy = replicate(
+            mesh,
+            jnp.asarray(resume_state["knots"], dt),
+            jnp.asarray(resume_state["gx"], dt),
+            jnp.asarray(resume_state["gy"], dt),
+        )
+        sched.lam = float(resume_state["lam"])
+        sched.count_tol_sat = int(resume_state["count_tol_sat"])
+        sched.it = int(resume_state["it"])
+        sched.cost_decreased = bool(resume_state["cost_decreased"])
+        if prev_src_fn is not None:
+            pb, pbid = prev_src_fn(knots, Gx, Gy, dev_win)
 
     t_loop0 = _time.perf_counter()
     t0 = t_loop0
@@ -919,11 +940,15 @@ def solve_window_sharded_host(
     cost_data, cost_reg = float(cost_data_j), float(cost_reg_j)
     stats.time_objective_s += _time.perf_counter() - t0
     stats.count_objective += 1
-    sched.start(cost_data + cost_reg)
+    if resume_state is None:
+        sched.start(cost_data + cost_reg)
+    else:
+        sched.cost_min = float(resume_state["cost_min"])
 
     red = None
     while sched.running():
-        if sched.cost_decreased:
+        # on resume, form once even after an interrupted reject (red is None)
+        if sched.cost_decreased or red is None:
             t0 = _time.perf_counter()
             red = form_fn(lin, knots, Gx, Gy, dev_win, pb, pbid)
             dropped = int(red[12])  # value-fetch sync for the phase
@@ -972,6 +997,13 @@ def solve_window_sharded_host(
             if sched.converged:
                 stats.converged = True
                 break
+
+        if (
+            checkpoint_cb is not None
+            and checkpoint_every > 0
+            and sched.it % checkpoint_every == 0
+        ):
+            checkpoint_cb(_solver.lm_state_dict(sched, knots, Gx, Gy))
 
     stats.time_total_s = _time.perf_counter() - t_loop0
     return knots, Gx, Gy, stats

@@ -182,6 +182,7 @@ class _PreparedWindow:
     win: pairing.EventWindow  # paired event window (pairing indices, batches)
     seg_num_knots: int  # predicted knot count of the window segment
     prep_s: float  # host time spent preparing
+    pushed: int  # knots this window's pushback would add
 
 
 class EmbaPipeline:
@@ -315,9 +316,17 @@ class EmbaPipeline:
 
     # -- checkpointing (new vs reference) ------------------------------------
 
-    def save_checkpoint(self, path: str, window_idx: int):
-        np.savez_compressed(
-            path,
+    def save_checkpoint(self, path: str, window_idx: int,
+                        lm_state: dict | None = None):
+        """Persist the BA state. Window-boundary checkpoints carry the
+        committed trajectory + maps + the NEXT window index. Mid-window
+        checkpoints (``lm_state`` from :func:`solver.lm_state_dict`)
+        additionally carry the in-flight LM state — current seg knots, LM
+        maps, lambda, iteration, cost_min, tol counter — so an interrupted
+        window resumes BIT-exactly (SURVEY.md §5's orbax-style contract).
+        The write is atomic (tmp + rename): a kill mid-write never corrupts
+        the previous checkpoint."""
+        payload = dict(
             knots=self.traj.knots,
             t_beg=self.traj.t_beg,
             dt=self.traj.dt,
@@ -326,6 +335,21 @@ class EmbaPipeline:
             gy=np.asarray(self.gy),
             window_idx=window_idx,
         )
+        if lm_state is not None:
+            payload.update(
+                mid_window=True,
+                lm_knots=lm_state["knots"],
+                lm_gx=lm_state["gx"],
+                lm_gy=lm_state["gy"],
+                lm_lam=lm_state["lam"],
+                lm_cost_min=lm_state["cost_min"],
+                lm_count_tol_sat=lm_state["count_tol_sat"],
+                lm_it=lm_state["it"],
+                lm_cost_decreased=lm_state["cost_decreased"],
+            )
+        tmp = path + ".tmp.npz"  # np.savez appends .npz to bare names
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
 
     def load_checkpoint(self, path: str) -> int:
         z = np.load(path)
@@ -336,6 +360,20 @@ class EmbaPipeline:
             order=int(z["order"]),
         )
         self.gx, self.gy = z["gx"], z["gy"]
+        if "mid_window" in z and bool(z["mid_window"]):
+            # in-flight LM state: run() resumes INSIDE this window
+            self._resume_lm = dict(
+                knots=z["lm_knots"],
+                gx=z["lm_gx"],
+                gy=z["lm_gy"],
+                lam=float(z["lm_lam"]),
+                cost_min=float(z["lm_cost_min"]),
+                count_tol_sat=int(z["lm_count_tol_sat"]),
+                it=int(z["lm_it"]),
+                cost_decreased=bool(z["lm_cost_decreased"]),
+            )
+        else:
+            self._resume_lm = None
         return int(z["window_idx"])
 
     # -- window preparation (host-side, prefetchable) -----------------------
@@ -349,6 +387,7 @@ class EmbaPipeline:
         t_pose_beg: float,
         t_pose_end: float,
         base_num_knots: int,
+        already_pushed: bool = False,
     ) -> _PreparedWindow:
         """All host-side work for one window that does NOT depend on any
         earlier window's solution: event-subset extraction (reference
@@ -366,7 +405,9 @@ class EmbaPipeline:
 
         ``base_num_knots``: trajectory knot count before this window's
         pushback (exact at submission time — the prefetch is submitted after
-        the current window's pushback).
+        the current window's pushback). ``already_pushed``: the window's
+        pushback is already in the trajectory (mid-window checkpoint
+        resume), so the segment knot count is ``base - idx_cp_beg``.
         """
         cfg = self.cfg
         t0 = time.perf_counter()
@@ -385,7 +426,9 @@ class EmbaPipeline:
         )
         pushed = len(new_cps) if first_window else len(new_cps) - 1
         idx_cp_beg = count_window * self.cp_stride
-        seg_num_knots = base_num_knots + pushed - idx_cp_beg
+        seg_num_knots = (
+            base_num_knots + (0 if already_pushed else pushed) - idx_cp_beg
+        )
         seg_t_beg = self.t_ba_beg + idx_cp_beg * cfg.dt_knots
 
         def loc(tq):
@@ -402,6 +445,7 @@ class EmbaPipeline:
             win=win,
             seg_num_knots=seg_num_knots,
             prep_s=time.perf_counter() - t0,
+            pushed=pushed,
         )
 
     @staticmethod
@@ -459,8 +503,13 @@ class EmbaPipeline:
         pose_latest = None
         window_stats = []
 
+        resume_lm = None
         if resume_from:
             count_window = self.load_checkpoint(resume_from)
+            # mid-window checkpoint: count_window is the IN-FLIGHT window;
+            # its pushback/alignment are already in the restored trajectory
+            # and the LM resumes from the stored schedule state
+            resume_lm = getattr(self, "_resume_lm", None)
             first_window = count_window == 0
             t_win_beg += count_window * self.win_stride
             t_win_end += count_window * self.win_stride
@@ -482,6 +531,7 @@ class EmbaPipeline:
         next_fut = executor.submit(
             self._prepare_window, count_window, first_window, t_win_beg,
             t_win_end, t_pose_beg, t_pose_end, self.traj.num_knots,
+            resume_lm is not None,
         )
 
         while t_win_end < self.t_ba_end + 1e-3:
@@ -491,14 +541,18 @@ class EmbaPipeline:
             self._prep_s.append(prep.prep_s)
 
             new_cps = prep.new_cps
-            if not first_window:
-                # align to the tail of the current trajectory (emba.cpp:420-428)
-                R0_inv = new_cps[0].T
-                new_cps = np.einsum(
-                    "ij,jk,nkl->nil", pose_latest[1], R0_inv, new_cps
-                )
-                new_cps = new_cps[1:]  # drop the shared first knot
-            self.traj.pushback(new_cps)
+            if resume_lm is None:
+                if not first_window:
+                    # align to the tail of the current trajectory
+                    # (emba.cpp:420-428)
+                    R0_inv = new_cps[0].T
+                    new_cps = np.einsum(
+                        "ij,jk,nkl->nil", pose_latest[1], R0_inv, new_cps
+                    )
+                    new_cps = new_cps[1:]  # drop the shared first knot
+                self.traj.pushback(new_cps)
+            # else: mid-window resume — the checkpointed trajectory already
+            # contains this window's aligned pushback
 
             idx_cp_beg = count_window * self.cp_stride
             seg = self.traj.segment(idx_cp_beg, self.traj.num_knots)
@@ -540,6 +594,23 @@ class EmbaPipeline:
                 if cfg.fused_lm is not None
                 else not self.record_data
             )
+            if resume_lm is not None:
+                # mid-window resume restores host-schedule state; the fused
+                # while_loop carries its own — route this window to the
+                # host-driven loop (same results, bit-identical)
+                fused = False
+            # Mid-window LM checkpointing (host loops only; the fused
+            # while_loop is one device program with no host re-entry).
+            ck_every = cfg.lm_checkpoint_every if self.record_data else 0
+            if ck_every:
+                ck_path = os.path.join(
+                    self.result_dir, "final_results", "checkpoint.npz"
+                )
+
+                def ck_cb(state, _w=win_id):
+                    self.save_checkpoint(ck_path, _w, lm_state=state)
+            else:
+                ck_cb = None
             # Fused-window fence (docs/STATUS.md): the fused while_loop
             # program reproducibly kills the remote TPU worker at 64M
             # events/device even though its compiled footprint fits; the
@@ -628,6 +699,9 @@ class EmbaPipeline:
                     fix_first=first_window,
                     use_cg=cfg.use_cg,
                     callback=cb,
+                    checkpoint_cb=ck_cb,
+                    checkpoint_every=ck_every,
+                    resume_state=resume_lm,
                 )
             else:
                 knots, gx_j, gy_j, stats = solver.solve_window(
@@ -641,7 +715,11 @@ class EmbaPipeline:
                     fix_first=first_window,
                     use_cg=cfg.use_cg,
                     callback=cb,
+                    checkpoint_cb=ck_cb,
+                    checkpoint_every=ck_every,
+                    resume_state=resume_lm,
                 )
+            resume_lm = None  # consumed by the resumed window
             stats.lm_mode = (
                 ("fused-sharded" if fused else "host-sharded")
                 if use_sharded

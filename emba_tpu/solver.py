@@ -166,6 +166,24 @@ def _solve_update(knots, Gx, Gy, neq, lam, damping, fix_first, use_cg):
     return knots_new, gx_new, gy_new, cg_it, cg_err, sync
 
 
+def lm_state_dict(sched, knots, Gx, Gy) -> dict:
+    """Mid-window LM checkpoint payload: the full resume state of the
+    host-driven loop — current accepted (knots, Gx, Gy) plus the scalar
+    schedule state (lambda, cost_min, tol-sat counter, iteration). The
+    reference persists nothing mid-run (SURVEY.md §5); this is the
+    orbax-style LM-state checkpoint the rebuild adds."""
+    return dict(
+        knots=np.asarray(knots),
+        gx=np.asarray(Gx),
+        gy=np.asarray(Gy),
+        lam=float(sched.lam),
+        cost_min=float(sched.cost_min),
+        count_tol_sat=int(sched.count_tol_sat),
+        it=int(sched.it),
+        cost_decreased=bool(sched.cost_decreased),
+    )
+
+
 def solve_window(
     knots,
     Gx,
@@ -177,6 +195,9 @@ def solve_window(
     fix_first: bool = False,
     use_cg: bool = False,
     callback=None,
+    checkpoint_cb=None,
+    checkpoint_every: int = 0,
+    resume_state: dict | None = None,
 ):
     """Run LM on (trajectory knots ⊕ gradient map) for one window.
 
@@ -186,6 +207,14 @@ def solve_window(
       dev_win: device-resident event window.
       callback: optional fn(iter, Gx, Gy, info) for evolution dumps
         (reference ``saveEvoData``, solver.cpp:370-425).
+      checkpoint_cb: optional fn(state_dict) called every
+        ``checkpoint_every`` iterations with :func:`lm_state_dict` — the
+        mid-window resume point (costs one device->host fetch of the state).
+      resume_state: a :func:`lm_state_dict` payload to resume from. The
+        resumed run is BIT-IDENTICAL to the uninterrupted one: every LM
+        decision depends only on (state, lambda, cost_min, tol counter), all
+        restored exactly; the linearization and normal equations are
+        recomputed deterministically from the restored state.
 
     Returns: (knots, Gx, Gy, LMStats).
     """
@@ -205,6 +234,14 @@ def solve_window(
         lambda_min=lm.lambda_min,
         lambda_max=lm.lambda_max,
     )
+    if resume_state is not None:
+        knots = jnp.asarray(resume_state["knots"], dt)
+        Gx = jnp.asarray(resume_state["gx"], dt)
+        Gy = jnp.asarray(resume_state["gy"], dt)
+        sched.lam = float(resume_state["lam"])
+        sched.count_tol_sat = int(resume_state["count_tol_sat"])
+        sched.it = int(resume_state["it"])
+        sched.cost_decreased = bool(resume_state["cost_decreased"])
 
     # streamed mode: ``lin`` holds the light linearization (light tier) or
     # just the (HW,) activity map (full tier) — the forming pass recomputes
@@ -226,11 +263,19 @@ def solve_window(
     cost_data, cost_reg = float(cost_data_j), float(cost_reg_j)
     stats.time_objective_s += time.perf_counter() - t0
     stats.count_objective += 1
-    sched.start(cost_data + cost_reg)
+    if resume_state is None:
+        sched.start(cost_data + cost_reg)
+    else:
+        # cost_min restored exactly (it equals the cost at the restored
+        # accepted state, but the stored scalar is the source of truth)
+        sched.cost_min = float(resume_state["cost_min"])
 
     neq = None
     while sched.running():
-        if sched.cost_decreased:
+        # on resume the system must be formed once regardless of whether the
+        # interrupted run's last step was a reject (forming is deterministic
+        # in the accepted state, so this re-form is bit-identical)
+        if sched.cost_decreased or neq is None:
             t0 = time.perf_counter()
             if streamed:
                 neq = M.form_normal_eq_streamed(
@@ -296,6 +341,13 @@ def solve_window(
                 stats.time_total_s = time.perf_counter() - t_loop0
                 return knots, Gx, Gy, stats
         # Reject (solver.cpp:343-352): state kept, lambda raised by sched.
+
+        if (
+            checkpoint_cb is not None
+            and checkpoint_every > 0
+            and sched.it % checkpoint_every == 0
+        ):
+            checkpoint_cb(lm_state_dict(sched, knots, Gx, Gy))
 
     stats.time_total_s = time.perf_counter() - t_loop0
     return knots, Gx, Gy, stats

@@ -153,6 +153,65 @@ def test_ba_cubic_spline(setup):
     assert np.isfinite(np.asarray(knots)).all()
 
 
+def test_mid_window_checkpoint_resume_bitexact(setup):
+    """Mid-window LM checkpoint/resume (SURVEY.md §5): interrupt a
+    host-loop solve partway, resume from the captured LM state, and
+    BIT-match the uninterrupted run — every LM decision depends only on
+    (state, lambda, cost_min, tol counter), all restored exactly."""
+    rng, sensor, scene, cfg = setup
+    steps = np.random.default_rng(9).normal(size=(scene.traj.num_knots, 3)) * 0.015
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj0.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    k0 = jnp.asarray(traj0.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    lmc = solver.LMConfig(max_num_iter=10)
+
+    # uninterrupted reference run
+    k_ref, gx_ref, gy_ref, st_ref = solver.solve_window(
+        k0, Gx, Gy, dev, cfg, lmc, fix_first=True
+    )
+
+    # interrupted run: capture the state at iteration 4, then "die"
+    class Killed(Exception):
+        pass
+
+    captured = {}
+
+    def ck(state):
+        captured.update(state)
+        if state["it"] >= 4:
+            raise Killed
+
+    with pytest.raises(Killed):
+        solver.solve_window(
+            k0, Gx, Gy, dev, cfg, lmc, fix_first=True,
+            checkpoint_cb=ck, checkpoint_every=1,
+        )
+    assert captured["it"] == 4
+
+    # resume: the final state must BIT-match the uninterrupted run
+    k_res, gx_res, gy_res, st_res = solver.solve_window(
+        k0, Gx, Gy, dev, cfg, lmc, fix_first=True, resume_state=captured
+    )
+    assert len(st_res.iterations) == len(st_ref.iterations) - 4
+    assert (
+        st_res.iterations[-1]["cost_min"] == st_ref.iterations[-1]["cost_min"]
+    )
+    np.testing.assert_array_equal(np.asarray(k_res), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(gx_res), np.asarray(gx_ref))
+    np.testing.assert_array_equal(np.asarray(gy_res), np.asarray(gy_ref))
+
+
 def test_fused_solver_matches_host_loop(setup):
     """The on-device while_loop LM must follow the same accept/reject path
     as the host-driven loop (same final cost within float tolerance)."""

@@ -401,6 +401,73 @@ def test_retune_compact_cap():
     assert retune_compact_cap(1 << 20, hw, hw) == hw
 
 
+def test_mid_window_checkpoint_resume(dataset, tmp_path, monkeypatch):
+    """A pipeline run killed MID-WINDOW resumes from the in-flight LM
+    checkpoint and finishes bit-identical to an uninterrupted run
+    (VERDICT/SURVEY §5: the orbax-style LM-state checkpoint — lambda, iter,
+    cost_min, tol counter — not just window boundaries)."""
+    import emba_tpu.config as C
+    import emba_tpu.pipeline as P
+    from emba_tpu.camera import load_camera_yaml
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.0, stop_time=0.6, c_th=0.1, alpha=0.5, max_num_iter=6,
+        dt_knots=0.05, time_window_size=0.3, sliding_window_stride=0.3,
+        dtype="float64", lm_checkpoint_every=1,
+    )
+
+    def make_pipe(outdir):
+        return P.EmbaPipeline(
+            cfg, load_camera_yaml(str(dataset / "calib.yaml")),
+            (t, x, y, pol), times, rots, init_gx=gx.copy(), init_gy=gy.copy(),
+            result_dir=str(outdir), record_data=True,
+        )
+
+    full = make_pipe(tmp_path / "full").run()
+    assert len(full.window_stats) == 2
+
+    # kill the run inside window 1 (the second window) after 3 mid-window
+    # checkpoint writes there
+    class Killed(Exception):
+        pass
+
+    p1 = make_pipe(tmp_path / "part")
+    orig_save = P.EmbaPipeline.save_checkpoint
+    calls = {"n": 0}
+
+    def save_and_die(self, path, window_idx, lm_state=None):
+        orig_save(self, path, window_idx, lm_state=lm_state)
+        if lm_state is not None and window_idx == 1:
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise Killed
+
+    monkeypatch.setattr(P.EmbaPipeline, "save_checkpoint", save_and_die)
+    with pytest.raises(Killed):
+        p1.run()
+    monkeypatch.setattr(P.EmbaPipeline, "save_checkpoint", orig_save)
+    ckpt = tmp_path / "part" / "final_results" / "checkpoint.npz"
+    z = np.load(ckpt)
+    assert bool(z["mid_window"]) and int(z["window_idx"]) == 1
+    assert int(z["lm_it"]) == 3
+
+    # resume INSIDE window 1 and finish: bit-identical final state
+    p2 = make_pipe(tmp_path / "resumed")
+    r2 = p2.run(resume_from=str(ckpt))
+    assert len(r2.window_stats) == 1  # only the interrupted window re-ran
+    # the resumed window ran only the REMAINING iterations
+    assert (
+        len(r2.window_stats[0].iterations)
+        == len(full.window_stats[1].iterations) - 3
+    )
+    np.testing.assert_array_equal(r2.trajectory.knots, full.trajectory.knots)
+    np.testing.assert_array_equal(r2.gx, full.gx)
+    np.testing.assert_array_equal(r2.gy, full.gy)
+
+
 def test_plan_model_config_auto_stream():
     """The auto-stream decision (pipeline.plan_model_config): keyed on the
     LARGEST RUNNING window's per-device event count, using the
