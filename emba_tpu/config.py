@@ -96,6 +96,11 @@ class BAConfig:
     # tested but measured slower on v5e and HBM-capped near ~16M
     # events/device; see docs/STATUS.md).
     stream_light: bool | None = None
+    # Light-trial classic LM (ModelConfig.light_trial): trial evaluations pay
+    # only the cost pass; Jacobians are recomputed in the forming pass after
+    # accepts (the reference's own trial structure, solver.cpp:66-103).
+    # Bit-identical results. None = auto (off pending the measured default).
+    light_trial: bool | None = None
     # Mid-window LM checkpointing (recording runs, host-driven loops): write
     # the full LM resume state (current knots/maps, lambda, iteration,
     # cost_min, tol counter) into checkpoint.npz every N LM iterations, so
@@ -130,6 +135,7 @@ class BAConfig:
             eta=self.eta if self.use_irls else 1.0,
             spline_order=self.spline_order,
             use_pallas=use_pallas,
+            light_trial=bool(self.light_trial),
             compact_cap=self.compact_cap,
             stream_chunk=self.stream_chunk or None,
             stream_light=bool(self.stream_light) and bool(self.stream_chunk),

@@ -134,12 +134,19 @@ def run_sequence(
     win = pairing.build_window(
         ev[0], ev[1], ev[2], ev[3], cam.width, traj0.locate, 100
     )
-    dev = model.DeviceWindow.from_window(win, cam.bearing_lut(), cam.width, dtype)
+    # Pre-pad streamed windows to a chunk multiple (as the pipeline does):
+    # the streamed passes then hold ZERO padded per-event copies — without
+    # this, a 4M-chunked 40M-event window carries ~GBs of padded temps and
+    # OOMs the host-loop forming program.
+    dev = model.DeviceWindow.from_window(
+        win, cam.bearing_lut(), cam.width, dtype,
+        pad_multiple=cfg.stream_chunk or 1,
+    )
     # Bucket the event count so sequences share compiled programs (remote
     # compiles cost minutes; padded events are masked out).
     from .dist import pad_window
 
-    dev = pad_window(dev, 1 << 17)
+    dev = pad_window(dev, max(1 << 17, cfg.stream_chunk or 1))
     tt = np.linspace(0.02 * duration, 0.98 * duration, 300)
     R_gt = np.asarray(scene.traj.evaluate(tt))
 

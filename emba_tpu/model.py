@@ -80,6 +80,16 @@ class ModelConfig:
     # windows of 10^7-10^8 events (SURVEY.md §6 problem sizes) fit one chip.
     # None = classic two-phase linearize-then-form.
     stream_chunk: int | None = None
+    # Light-trial classic mode: LM trial evaluations compute the COST ONLY
+    # (a light linearization with no (D, N) Jacobians); the Jacobians are
+    # recomputed inside the forming pass, which runs only after ACCEPTED
+    # steps — the reference's own trial structure (solver.cpp:66-103
+    # relinearizes only on accept). Rejected iterations therefore never pay
+    # the Jacobian chain + (2+2D, N) prev gather. Same LM path and results
+    # as the classic two-phase path (to cross-program float-association
+    # tolerance). Ignored when stream_chunk is set (the
+    # streamed FULL tier already has this structure).
+    light_trial: bool = False
     # Two-tier streaming (with stream_chunk set): the LIGHT tier keeps the
     # (N,)-sized residual fields of the linearization resident and
     # chunk-recomputes ONLY the (D, N) Jacobians — the fast tier, ~25 B/event
@@ -490,6 +500,42 @@ def form_normal_eq(
         A11, b1, a22xx, a22xy, a22yy, b2x, b2y, A12, row_active, pix2row,
         active, Gx, Gy, cfg, r_pad, dt, dropped, reg_scale,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_knots"))
+def form_normal_eq_light(
+    lin: Linearization, knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    num_knots: int, reg_scale=None,
+) -> NormalEq:
+    """Relinearize-on-accept forming for the LIGHT-TRIAL classic mode:
+    ``lin`` is the light linearization from the objective pass
+    (``linearize(..., need_deriv=False)`` — (N,)-resident residual fields,
+    no Jacobians); this pass recomputes the (D, N) Jacobians (curr warp
+    derivative chain + prev-event gather, reference model.cpp:238-241, 449,
+    459) and forms the normal equations. Same math as
+    ``form_normal_eq(linearize(..., need_deriv=True))`` — the same ops on
+    the same inputs (equal up to cross-program float association). Because
+    forming runs only after ACCEPTED steps (the
+    reference's own structure, solver.cpp:66-103), rejected LM trials never
+    pay the Jacobian cost."""
+    d = cfg.dim_block
+    _, _, dpm = warp.warp_events(
+        knots, dev.batch_s, dev.batch_u, dev.batch_ids, dev.bearings,
+        cfg.pano, cfg.spline_order, need_jacobian=True,
+    )
+    dpm_prev = jnp.take(
+        dpm.reshape(2 * d, -1), dev.prev_idx, axis=1
+    ).reshape(2, d, -1)
+    gmaps = _stacked_gmaps(Gx, Gy, True)
+    g_at = jnp.take(gmaps, lin.pm_pix, axis=1)  # (5, N) one fused gather
+    gx, gy = g_at[0], g_at[1]
+    # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
+    tx = gx + lin.dx * g_at[2] + lin.dy * g_at[3]
+    ty = gy + lin.dx * g_at[3] + lin.dy * g_at[4]
+    Jc = tx[None, :] * dpm[0] + ty[None, :] * dpm[1]
+    Jp = -(gx[None, :] * dpm_prev[0] + gy[None, :] * dpm_prev[1])
+    full = dataclasses.replace(lin, Jc=Jc, Jp=Jp)
+    return form_normal_eq(full, Gx, Gy, cfg, num_knots, reg_scale)
 
 
 def _row_space(num_ev_map, cfg: ModelConfig):

@@ -124,6 +124,17 @@ def _init_costs(knots, Gx, Gy, dev, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _init_costs_trial(knots, Gx, Gy, dev, cfg):
+    """LIGHT-TRIAL objective (``cfg.light_trial``): cost + the (N,)-resident
+    light linearization — NO (D, N) Jacobians, no (2+2D, N) prev gather.
+    The forming pass (``form_normal_eq_light``) recomputes the Jacobians
+    after ACCEPTED steps only, matching the reference's relinearize-on-
+    accept trial structure (solver.cpp:66-103)."""
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, False)
+    return lin, M.data_cost(lin.e, cfg), M.reg_cost(Gx, Gy, cfg.alpha)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _init_costs_light(knots, Gx, Gy, dev, cfg, pb, pbid):
     """Light-tier objective (``cfg.stream_light``): CHUNK-streamed light
     linearization — the (N,)-sized residual fields it retains feed the
@@ -254,6 +265,8 @@ def solve_window(
 
         def init_fn(k_, gx_, gy_, dev_, cfg_):
             return base(k_, gx_, gy_, dev_, cfg_, pb, pbid)
+    elif cfg.light_trial:
+        init_fn = _init_costs_trial
     else:
         init_fn = _init_costs
 
@@ -281,6 +294,10 @@ def solve_window(
                 neq = M.form_normal_eq_streamed(
                     lin, knots, Gx, Gy, dev_win, cfg, num_knots,
                     prev_bearings=pb, prev_bids=pbid,
+                )
+            elif cfg.light_trial:
+                neq = M.form_normal_eq_light(
+                    lin, knots, Gx, Gy, dev_win, cfg, num_knots
                 )
             else:
                 neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
@@ -413,7 +430,11 @@ def solve_window_fused(
                 prev_bearings=pb, prev_bids=pbid,
             )
             return cd + M.reg_cost(gx_, gy_, cfg.alpha), lin
-        lin = M.linearize(knots_, gx_, gy_, dev_win, cfg, True)
+        # light-trial classic (cfg.light_trial): trials carry only the
+        # (N,)-resident light linearization; _form recomputes Jacobians on
+        # accept (reference solver.cpp:66-103 relinearizes only on accept)
+        lin = M.linearize(knots_, gx_, gy_, dev_win, cfg,
+                          not cfg.light_trial)
         return M.data_cost(lin.e, cfg) + M.reg_cost(gx_, gy_, cfg.alpha), lin
 
     def _form(act_, knots_, gx_, gy_):
@@ -421,6 +442,10 @@ def solve_window_fused(
             return M.form_normal_eq_streamed(
                 act_, knots_, gx_, gy_, dev_win, cfg, num_knots,
                 prev_bearings=pb, prev_bids=pbid,
+            )
+        if cfg.light_trial:
+            return M.form_normal_eq_light(
+                act_, knots_, gx_, gy_, dev_win, cfg, num_knots
             )
         return M.form_normal_eq(act_, gx_, gy_, cfg, num_knots)
 

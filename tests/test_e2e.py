@@ -272,6 +272,71 @@ def test_fused_solver_irls(setup):
     assert np.isfinite(np.asarray(kf)).all()
 
 
+def test_light_trial_matches_classic(setup):
+    """LIGHT-TRIAL classic mode (cfg.light_trial): trials pay only the cost
+    pass, forming relinearizes on accept — the LM path (iterations,
+    accepts) must be identical to the classic two-phase path, and results
+    match to cross-program float-association tolerance (the recomputed
+    Jacobians are the same ops on the same inputs; XLA may fuse the two
+    programs differently at the ULP level)."""
+    import dataclasses as dc
+
+    rng, sensor, scene, cfg = setup
+    steps = np.random.default_rng(7).normal(size=(scene.traj.num_knots, 3)) * 0.015
+    walk = np.cumsum(steps, axis=0)
+    walk -= walk[0]
+    traj0 = dataclasses.replace(
+        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width, traj0.locate, 100
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    knots = jnp.asarray(traj0.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    damping = jnp.asarray(1.0, jnp.float64)
+    tolf = jnp.asarray(1e-3, jnp.float64)
+    cfg_lt = dc.replace(cfg, light_trial=True)
+
+    k1, gx1, gy1, c1, it1, cv1 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg, damping, tolf, fix_first=True, max_num_iter=8
+    )
+    k2, gx2, gy2, c2, it2, cv2 = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg_lt, damping, tolf, fix_first=True,
+        max_num_iter=8,
+    )
+    assert int(it2) == int(it1)
+    assert bool(cv2) == bool(cv1)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-9)
+
+    # host loop, light trial: same final state
+    k3, gx3, gy3, st = solver.solve_window(
+        knots, Gx, Gy, dev, cfg_lt, solver.LMConfig(max_num_iter=8),
+        fix_first=True,
+    )
+    assert len(st.iterations) == int(it1)
+    np.testing.assert_allclose(np.asarray(k3), np.asarray(k1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gx3), np.asarray(gx1), atol=1e-9)
+
+    # IRLS composes with light trial (weights derive from the residual only)
+    cfg_i = dc.replace(cfg, use_irls=True, cost_type="cauchy", eta=0.5)
+    cfg_il = dc.replace(cfg_i, light_trial=True)
+    k4, *_ = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg_i, damping, tolf, fix_first=True,
+        max_num_iter=5,
+    )
+    k5, *_ = solver.solve_window_fused(
+        knots, Gx, Gy, dev, cfg_il, damping, tolf, fix_first=True,
+        max_num_iter=5,
+    )
+    np.testing.assert_allclose(np.asarray(k5), np.asarray(k4), atol=1e-10)
+
+
 def test_fused_solver_streamed_matches_classic(setup):
     """solve_window_fused with streamed forming must walk the same LM
     iterates as the classic path (identical accept/reject, same result)."""
