@@ -192,10 +192,88 @@ def parse_rosbag(
     return (t[order], x[order], y[order], pol[order]), cam_info
 
 
+def _field(k: str, v: bytes) -> bytes:
+    b = k.encode() + b"=" + v
+    return struct.pack("<I", len(b)) + b
+
+
+def _record(header_fields: dict, payload: bytes) -> bytes:
+    hdr = b"".join(_field(k, v) for k, v in header_fields.items())
+    return (
+        struct.pack("<I", len(hdr)) + hdr
+        + struct.pack("<I", len(payload)) + payload
+    )
+
+
+def _timeval(ts: float) -> bytes:
+    sec = int(ts)
+    nsec = int(round((ts - sec) * 1e9))
+    if nsec >= 1_000_000_000:
+        sec, nsec = sec + 1, nsec - 1_000_000_000
+    return struct.pack("<II", sec, nsec)
+
+
+def _conn_record(cid: int, topic: str, msg_type: str, md5: str) -> bytes:
+    return _record(
+        {
+            "op": b"\x07",
+            "conn": struct.pack("<I", cid),
+            "topic": topic.encode(),
+        },
+        b"".join(
+            [
+                _field("topic", topic.encode()),
+                _field("type", msg_type.encode()),
+                _field("md5sum", md5.encode()),
+                _field("message_definition", b""),
+                _field("callerid", b"/emba_tpu_writer"),
+            ]
+        ),
+    )
+
+
+def _camera_info_body(cam: "CameraInfo", stamp: float) -> bytes:
+    """Serialize a sensor_msgs/CameraInfo message body."""
+    model = cam.distortion_model.encode()
+    D = np.asarray(cam.D, "<f8")
+    return (
+        struct.pack("<I", 0) + _timeval(stamp) + struct.pack("<I", 0)  # header
+        + struct.pack("<II", cam.height, cam.width)
+        + struct.pack("<I", len(model)) + model
+        + struct.pack("<I", len(D)) + D.tobytes()
+        + np.asarray(cam.K, "<f8").tobytes()
+        + np.asarray(cam.R, "<f8").tobytes()
+        + np.asarray(cam.P, "<f8").tobytes()
+        + struct.pack("<II", 0, 0)  # binning
+        + struct.pack("<IIII", 0, 0, 0, 0) + b"\x00"  # roi
+    )
+
+
 def write_rosbag(path: str, events_topic: str, t, x, y, pol, chunk_events=50000,
-                 width=None, height=None):
-    """Write a minimal uncompressed ROS1 bag with dvs_msgs/EventArray messages
-    (for round-trip tests and interop with the reference)."""
+                 width=None, height=None, compression: str = "none",
+                 camera_info: "CameraInfo | None" = None,
+                 camera_info_topic: str = "/dvs/camera_info",
+                 extra_topic: str | None = None,
+                 write_index: bool = True):
+    """Write a ROS1 V2.0 bag with dvs_msgs/EventArray messages in the
+    STANDARD indexed layout (mirrors what ``rosbag record`` / reindex emit,
+    per the public bag-format spec; the reference consumes such bags via
+    ``src/utils/rosbag_loading.cpp:11-116``):
+
+    * bag header record (op 0x03) with a real ``index_pos`` and the 4096-byte
+      space padding,
+    * chunk records (op 0x05; ``compression`` in none|bz2|lz4) whose payload
+      embeds the connection records of the connections used in that chunk,
+    * per-connection INDEX records (op 0x04, ver 1) after each chunk,
+    * an index section at ``index_pos``: all connection records (op 0x07)
+      followed by per-chunk CHUNK_INFO records (op 0x06, ver 1).
+
+    ``camera_info`` adds a second connection carrying one
+    sensor_msgs/CameraInfo message; ``extra_topic`` adds a third connection
+    with unknown-type messages (readers must skip them). ``write_index=False``
+    emits the truncated "active" layout (index_pos=0, no index section) that
+    crashed recorders leave behind. For round-trip tests and interop with
+    the reference."""
     t = np.asarray(t, np.float64)
     x = np.asarray(x)
     y = np.asarray(y)
@@ -203,45 +281,36 @@ def write_rosbag(path: str, events_topic: str, t, x, y, pol, chunk_events=50000,
     width = int(width if width is not None else (x.max() + 1 if len(x) else 1))
     height = int(height if height is not None else (y.max() + 1 if len(y) else 1))
 
-    def field(k: str, v: bytes) -> bytes:
-        b = k.encode() + b"=" + v
-        return struct.pack("<I", len(b)) + b
+    conns = [(0, events_topic, "dvs_msgs/EventArray",
+              "5e8beee5a6c107e504c2e78903c224b8")]
+    if camera_info is not None:
+        conns.append((1, camera_info_topic, "sensor_msgs/CameraInfo",
+                      "c9a58c1b0b154e0e6da7578cb991d214"))
+    if extra_topic is not None:
+        conns.append((2, extra_topic, "std_msgs/String",
+                      "992ce8a1687cec8c8bd883ec73ca41d1"))
 
-    def record(header_fields: dict, payload: bytes) -> bytes:
-        hdr = b"".join(field(k, v) for k, v in header_fields.items())
-        return (
-            struct.pack("<I", len(hdr)) + hdr + struct.pack("<I", len(payload)) + payload
-        )
+    def compress(b: bytes) -> bytes:
+        if compression == "none":
+            return b
+        if compression == "bz2":
+            return bz2.compress(b)
+        if compression == "lz4":
+            import lz4.frame  # type: ignore
 
-    def timeval(ts: float) -> bytes:
-        sec = int(ts)
-        nsec = int(round((ts - sec) * 1e9))
-        if nsec >= 1_000_000_000:
-            sec, nsec = sec + 1, nsec - 1_000_000_000
-        return struct.pack("<II", sec, nsec)
+            return lz4.frame.compress(b)
+        raise ValueError(f"unknown compression {compression!r}")
 
-    conn_hdr = {
-        "op": b"\x07",
-        "conn": struct.pack("<I", 0),
-        "topic": events_topic.encode(),
-    }
-    conn_payload = b"".join(
-        [
-            field("topic", events_topic.encode()),
-            field("type", b"dvs_msgs/EventArray"),
-            field("md5sum", b"5e8beee5a6c107e504c2e78903c224b8"),
-            field("message_definition", b""),
-        ]
-    )
-
-    chunks = []
-    for lo in range(0, len(t), chunk_events):
+    # build chunks: each with its connection records + message records
+    chunk_blobs = []  # (uncompressed_payload, [(cid, [times])], t_lo, t_hi)
+    for ci, lo in enumerate(range(0, max(len(t), 1), chunk_events)):
         hi = min(lo + chunk_events, len(t))
         n = hi - lo
         rec = np.zeros(
             n,
             dtype=np.dtype(
-                [("x", "<u2"), ("y", "<u2"), ("sec", "<u4"), ("nsec", "<u4"), ("pol", "u1")]
+                [("x", "<u2"), ("y", "<u2"), ("sec", "<u4"), ("nsec", "<u4"),
+                 ("pol", "u1")]
             ),
         )
         rec["x"], rec["y"] = x[lo:hi], y[lo:hi]
@@ -249,39 +318,118 @@ def write_rosbag(path: str, events_topic: str, t, x, y, pol, chunk_events=50000,
         rec["sec"] = sec
         rec["nsec"] = np.round((t[lo:hi] - sec) * 1e9).astype(np.int64)
         rec["pol"] = np.asarray(pol[lo:hi] > 0, np.uint8)
+        t_lo = float(t[lo]) if n else 0.0
         body = (
-            struct.pack("<I", 0)  # header.seq
-            + timeval(t[lo])  # header.stamp
+            struct.pack("<I", ci)  # header.seq
+            + _timeval(t_lo)  # header.stamp
             + struct.pack("<I", 0)  # frame_id ""
             + struct.pack("<II", height, width)
             + struct.pack("<I", n)
             + rec.tobytes()
         )
-        msg = record(
-            {"op": b"\x02", "conn": struct.pack("<I", 0), "time": timeval(t[lo])},
+        parts = [_conn_record(*conns[0])]
+        counts = [(0, [t_lo])]
+        if ci == 0 and camera_info is not None:
+            parts.append(_conn_record(*conns[1]))
+            cam_body = _camera_info_body(camera_info, t_lo)
+            parts.append(_record(
+                {"op": b"\x02", "conn": struct.pack("<I", 1),
+                 "time": _timeval(t_lo)},
+                cam_body,
+            ))
+            counts.append((1, [t_lo]))
+        if extra_topic is not None:
+            parts.append(_conn_record(*conns[2]))
+            s = f"noise {ci}".encode()
+            parts.append(_record(
+                {"op": b"\x02", "conn": struct.pack("<I", 2),
+                 "time": _timeval(t_lo)},
+                struct.pack("<I", len(s)) + s,
+            ))
+            counts.append((2, [t_lo]))
+        parts.append(_record(
+            {"op": b"\x02", "conn": struct.pack("<I", 0),
+             "time": _timeval(t_lo)},
             body,
-        )
-        chunks.append(msg)
+        ))
+        t_hi = float(t[hi - 1]) if n else 0.0
+        chunk_blobs.append((b"".join(parts), counts, t_lo, t_hi))
 
-    inner = record(conn_hdr, conn_payload) + b"".join(chunks)
-    chunk_rec = record(
-        {
-            "op": b"\x05",
-            "compression": b"none",
-            "size": struct.pack("<I", len(inner)),
-        },
-        inner,
-    )
-    bag_header = record(
-        {
+    # lay out the file to compute index_pos and chunk positions
+    magic = b"#ROSBAG V2.0\n"
+    # bag header: payload space-padded so the whole record is 4096+13 bytes
+    def bag_header(index_pos: int) -> bytes:
+        hdr_fields = {
             "op": b"\x03",
-            "index_pos": struct.pack("<Q", 0),
-            "conn_count": struct.pack("<I", 1),
-            "chunk_count": struct.pack("<I", 1),
-        },
-        b" " * 4096,
-    )
+            "index_pos": struct.pack("<Q", index_pos),
+            "conn_count": struct.pack("<I", len(conns)),
+            "chunk_count": struct.pack("<I", len(chunk_blobs)),
+        }
+        hdr = b"".join(_field(k, v) for k, v in hdr_fields.items())
+        pad = 4096 - len(hdr)
+        return (
+            struct.pack("<I", len(hdr)) + hdr
+            + struct.pack("<I", pad) + b" " * pad
+        )
+
+    pieces = []
+    chunk_positions = []
+    pos = len(magic) + len(bag_header(0))
+    for payload, counts, t_lo, t_hi in chunk_blobs:
+        comp = compress(payload)
+        chunk_rec = _record(
+            {
+                "op": b"\x05",
+                "compression": compression.encode(),
+                "size": struct.pack("<I", len(payload)),
+            },
+            comp,
+        )
+        chunk_positions.append(pos)
+        pieces.append(chunk_rec)
+        pos += len(chunk_rec)
+        if write_index:
+            for cid, times in counts:
+                idx_payload = b"".join(
+                    _timeval(ts) + struct.pack("<I", 0) for ts in times
+                )
+                idx = _record(
+                    {
+                        "op": b"\x04",
+                        "ver": struct.pack("<I", 1),
+                        "conn": struct.pack("<I", cid),
+                        "count": struct.pack("<I", len(times)),
+                    },
+                    idx_payload,
+                )
+                pieces.append(idx)
+                pos += len(idx)
+
+    index_pos = pos if write_index else 0
+    if write_index:
+        for c in conns:
+            pieces.append(_conn_record(*c))
+        for (payload, counts, t_lo, t_hi), cpos in zip(
+            chunk_blobs, chunk_positions
+        ):
+            info_payload = b"".join(
+                struct.pack("<I", cid) + struct.pack("<I", len(times))
+                for cid, times in counts
+            )
+            pieces.append(_record(
+                {
+                    "op": b"\x06",
+                    "ver": struct.pack("<I", 1),
+                    "chunk_pos": struct.pack("<Q", cpos),
+                    "start_time": _timeval(t_lo),
+                    "end_time": _timeval(t_hi),
+                    "count": struct.pack("<I", len(counts)),
+                },
+                info_payload,
+            ))
+
     with open(path, "wb") as f:
-        f.write(b"#ROSBAG V2.0\n")
-        f.write(bag_header)
-        f.write(chunk_rec)
+        f.write(magic)
+        f.write(bag_header(index_pos))
+        for p in pieces:
+            f.write(p)
