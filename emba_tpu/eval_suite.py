@@ -69,13 +69,18 @@ def run_sequence(
     stream_light: bool = False,
     compact_cap: int | None = None,
     outlier_dp: float = 3.0,
+    spline_order: int = 2,
+    light_trial: bool = False,
 ) -> dict:
     """``stream``: force streamed forming on/off (None = auto by event count
     vs ``stream_over``); ``stream_light`` picks the resident-light tier.
     ``compact_cap`` enables active-pixel compaction (4K-pano rows).
     ``outlier_dp``: pairing-displacement outlier cut in PANO PIXELS — scale
     with pano resolution (3 px at 512-high is 12 px at 2048-high; the
-    reference uses 10 px at 1024, model.cpp:200)."""
+    reference uses 10 px at 1024, model.cpp:200). ``spline_order=4`` refits
+    the GT trajectory as a cubic spline (reference CubicTrajectory) and
+    runs the BA with D=12 blocks. ``light_trial``: cost-only LM trials
+    (relinearize-on-accept)."""
     if dtype is None:
         dtype = jnp.float32
     rng = np.random.default_rng(seed)
@@ -104,8 +109,19 @@ def run_sequence(
         thres_valid_pixel=3,
         alpha=0.5,
         outlier_dp_norm=outlier_dp,
+        spline_order=spline_order,
+        light_trial=light_trial,
         use_pallas=(jax.default_backend() == "tpu" and dtype == jnp.float32),
     )
+    base_traj = scene.traj
+    if spline_order != 2:
+        # refit GT as an order-`spline_order` spline (lift-QR-retract chunked
+        # long fit, reference trajectory.cpp:481-626)
+        tt_f = np.linspace(0.0, duration, max(int(duration * 400), 50))
+        R_f = np.asarray(scene.traj.evaluate(tt_f))
+        base_traj = spline.Trajectory.from_poses(
+            tt_f, R_f, 0.0, duration, 0.05, order=spline_order
+        )
     # Systematic subsampling to a memory budget (the reference's
     # event_sampling_rate, emba.cpp:282-304; its docs recommend it exactly
     # when memory runs out). With streamed forming this is OPTIONAL here —
@@ -125,11 +141,11 @@ def run_sequence(
         cfg = dataclasses.replace(cfg, compact_cap=compact_cap)
 
     # front-end-like perturbation: smooth random walk on the knots
-    steps = rng.normal(size=(scene.traj.num_knots, 3)) * perturb
+    steps = rng.normal(size=(base_traj.num_knots, 3)) * perturb
     walk = np.cumsum(steps, axis=0)
     walk -= walk[0]
     traj0 = dataclasses.replace(
-        scene.traj, knots=spline._np_exp(walk) @ scene.traj.knots
+        base_traj, knots=spline._np_exp(walk) @ base_traj.knots
     )
     win = pairing.build_window(
         ev[0], ev[1], ev[2], ev[3], cam.width, traj0.locate, 100

@@ -38,8 +38,8 @@ def ref_accumulate(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, wA, hw, dim_pose):
     return a12, px5, a11, b1
 
 
-def make_inputs(rng, n, hw, knots, pix_mode="uniform", knot_lo=0):
-    d = 6
+def make_inputs(rng, n, hw, knots, pix_mode="uniform", knot_lo=0, d=6):
+    order = d // 3
     if pix_mode == "uniform":
         pix = rng.integers(0, hw, n)
     elif pix_mode == "one_pixel":
@@ -50,8 +50,8 @@ def make_inputs(rng, n, hw, knots, pix_mode="uniform", knot_lo=0):
         pix = np.where(rng.random(n) < 0.5, 0, hw - 1)
     return (
         pix.astype(np.int32),
-        rng.integers(knot_lo, knots - 1, n).astype(np.int32),  # i_c
-        rng.integers(knot_lo, knots - 1, n).astype(np.int32),  # i_p
+        rng.integers(knot_lo, knots - order + 1, n).astype(np.int32),  # i_c
+        rng.integers(knot_lo, knots - order + 1, n).astype(np.int32),  # i_p
         rng.normal(size=(d, n)).astype(np.float32),
         rng.normal(size=(d, n)).astype(np.float32),
         rng.normal(size=n).astype(np.float32),  # dx
@@ -63,14 +63,19 @@ def make_inputs(rng, n, hw, knots, pix_mode="uniform", knot_lo=0):
 
 def check(args, hw, knots):
     dim_pose = 3 * knots
+    order = args[3].shape[0] // 3
     a12, px5, a11b = K.a12_accumulate(
-        *(jnp.asarray(a) for a in args), num_pix=hw, dim_pose=dim_pose, order=2
+        *(jnp.asarray(a) for a in args), num_pix=hw, dim_pose=dim_pose,
+        order=order,
     )
     ref_a12, ref_px5, ref_a11, ref_b1 = ref_accumulate(*args, hw, dim_pose)
     dp_pad = K._round_up(dim_pose, 128)
+    # f32 accumulation error grows with the terms per A11 row (2D per
+    # measurement side) — scale the A11 tolerance with the block size
+    atol_a11 = 5e-3 * (order / 2)
     np.testing.assert_allclose(np.asarray(a12), ref_a12, atol=2e-3)
     np.testing.assert_allclose(np.asarray(px5)[:, :5], ref_px5[:, :5], atol=2e-3)
-    np.testing.assert_allclose(np.asarray(a11b)[:dp_pad], ref_a11, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(a11b)[:dp_pad], ref_a11, atol=atol_a11)
     np.testing.assert_allclose(np.asarray(a11b)[dp_pad], ref_b1, atol=2e-3)
 
 
@@ -80,6 +85,44 @@ def check(args, hw, knots):
 def test_kernel_matches_reference(pix_mode):
     rng = np.random.default_rng(0)
     check(make_inputs(rng, 2000, 2048, 10, pix_mode), 2048, 10)
+
+
+@pytest.mark.parametrize(
+    "pix_mode", ["uniform", "one_pixel", "one_tile", "two_extremes"]
+)
+def test_kernel_matches_reference_order4(pix_mode):
+    """Order-4 (cubic spline): the kernel packs a D=12 payload per
+    measurement side (a12_accum.py payload packing) — exercise every
+    degenerate pixel distribution at full cubic depth (reference
+    CubicTrajectory, src/utils/trajectory.cpp:481-626)."""
+    rng = np.random.default_rng(7)
+    check(make_inputs(rng, 2000, 2048, 10, pix_mode, d=12), 2048, 10)
+
+
+def test_kernel_carry_chains_in_place_order4():
+    """Chained (streamed) accumulation at D=12."""
+    rng = np.random.default_rng(8)
+    hw, knots = 2048, 10
+    dim_pose = 3 * knots
+    args_a = make_inputs(rng, 1100, hw, knots, "uniform", d=12)
+    args_b = make_inputs(rng, 600, hw, knots, "two_extremes", d=12)
+    out = K.a12_accumulate(
+        *(jnp.asarray(a) for a in args_a), num_pix=hw, dim_pose=dim_pose,
+        order=4,
+    )
+    out = K.a12_accumulate(
+        *(jnp.asarray(a) for a in args_b), num_pix=hw, dim_pose=dim_pose,
+        order=4, carry=out,
+    )
+    cat = [np.concatenate([a, b], axis=-1) for a, b in zip(args_a, args_b)]
+    ref = K.a12_accumulate(
+        *(jnp.asarray(a) for a in cat), num_pix=hw, dim_pose=dim_pose,
+        order=4,
+    )
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3
+        )
 
 
 def test_kernel_tiny_n():
