@@ -143,6 +143,8 @@ def run_ba(data, dtype_str: str, lm_iters: int, max_events: int):
         # Streaming tier (mirrors the pipeline default: zero-residency FULL
         # — the measured-faster tier at every scale; see pipeline.run).
         stream_light=os.environ.get("BENCH_STREAM_LIGHT") == "1",
+        # Light-trial classic LM: cost-only trials, relinearize-on-accept.
+        light_trial=os.environ.get("BENCH_LIGHT_TRIAL") == "1",
     )
     win = pairing.build_window(
         data["t"][:n], data["x"][:n], data["y"][:n], data["pol"][:n],
@@ -265,6 +267,25 @@ def _roofline(data, cfg, k0, Gx, Gy, dev, stats, fused_wall, n, n_it_fused):
     try:
         num_knots = k0.shape[0]
         streamed = cfg.stream_chunk is not None
+        # The Pallas accumulation kernel is an opaque custom call whose GEMMs
+        # XLA's cost model does NOT count — add its statically-known FLOPs
+        # (kernels.a12_accum.kernel_flops: hi/lo GEMM passes + one-hot
+        # expansion, exact grid) so forming FLOPs/MFU are complete.
+        f_kernel = 0.0
+        if cfg.use_pallas and str(Gx.dtype) == "float32":
+            from emba_tpu.kernels.a12_accum import kernel_flops
+
+            n_pad = int(dev.pol_signed.shape[0])
+            rows = cfg.compact_cap or cfg.num_pix
+            if streamed:
+                sc = cfg.stream_chunk
+                f_kernel = (n_pad // sc) * kernel_flops(
+                    sc, rows, 3 * num_knots, cfg.spline_order
+                )
+            else:
+                f_kernel = kernel_flops(
+                    n_pad, rows, 3 * num_knots, cfg.spline_order
+                )
         if streamed:
             lin = M.linearize(k0, Gx, Gy, dev, cfg, False)
             aux = lin if cfg.stream_light else lin.num_ev_map
@@ -277,12 +298,22 @@ def _roofline(data, cfg, k0, Gx, Gy, dev, stats, fused_wall, n, n_it_fused):
             f_obj = flops_of(obj_fn.lower(k0, Gx, Gy, dev, cfg, pb, pbid))
             neq = M.form_normal_eq_streamed(aux, k0, Gx, Gy, dev, cfg,
                                             num_knots)
+        elif cfg.light_trial:
+            lin = M.linearize(k0, Gx, Gy, dev, cfg, False)
+            f_form = flops_of(M.form_normal_eq_light.lower(
+                lin, k0, Gx, Gy, dev, cfg, num_knots
+            ))
+            f_obj = flops_of(
+                solver._init_costs_trial.lower(k0, Gx, Gy, dev, cfg)
+            )
+            neq = M.form_normal_eq_light(lin, k0, Gx, Gy, dev, cfg, num_knots)
         else:
             lin = M.linearize(k0, Gx, Gy, dev, cfg, True)
             f_form = flops_of(M.form_normal_eq.lower(lin, Gx, Gy, cfg,
                                                      num_knots))
             f_obj = flops_of(solver._init_costs.lower(k0, Gx, Gy, dev, cfg))
             neq = M.form_normal_eq(lin, Gx, Gy, cfg, num_knots)
+        f_form += f_kernel
         import jax.numpy as jnp
 
         lam = jnp.asarray(1e-3, Gx.dtype)
@@ -312,6 +343,7 @@ def _roofline(data, cfg, k0, Gx, Gy, dev, stats, fused_wall, n, n_it_fused):
         mfu_fused = per_iter * n_it_fused / fused_wall / peak
         return dict(
             flops_form=f_form,
+            flops_form_pallas_kernel=f_kernel,
             flops_solve=f_solve,
             flops_objective=f_obj,
             flops_per_event_per_iter=per_iter / n,
@@ -320,10 +352,13 @@ def _roofline(data, cfg, k0, Gx, Gy, dev, stats, fused_wall, n, n_it_fused):
             mfu_host_loop=mfu_host,
             mfu_fused_est=mfu_fused,
             note="FLOPs from XLA cost_analysis of the exact compiled phase "
-            "programs; peak = dense-MXU spec for the chip. Caveat: the "
-            "Pallas accumulation kernel is an opaque custom call whose "
-            "GEMMs the cost model does NOT count, so forming FLOPs (and "
-            "thus MFU) are underestimated when use_pallas is on.",
+            "programs, PLUS the Pallas accumulation kernel's statically-"
+            "known executed FLOPs (kernels.a12_accum.kernel_flops: hi/lo "
+            "GEMM passes + one-hot strip expansion over the exact compiled "
+            "grid — the custom call is opaque to the cost model). Peak = "
+            "dense-MXU spec for the chip. MFU here measures hardware "
+            "utilization of the chosen one-hot GEMM formulation, not the "
+            "minimal algorithmic flops of the scatter it replaces.",
         )
     except Exception as e:  # noqa: BLE001
         _log(f"roofline unavailable: {e}")

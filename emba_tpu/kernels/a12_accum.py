@@ -305,6 +305,39 @@ def a12_accumulate(
     return a12, px5, a11b
 
 
+def kernel_flops(n: int, num_pix: int, dim_pose: int, order: int,
+                 bf16: bool | None = None) -> float:
+    """Statically-known FLOPs EXECUTED by one ``a12_accumulate`` pallas_call
+    (the custom call is opaque to XLA's cost model, so bench rooflines add
+    this): per grid chunk of MC padded measurement slots —
+
+    * A12: 2 column planes x (hi+lo bf16 passes) of (MC,TILE_PX)^T(MC,dp_pad),
+    * px5: (hi+lo) of (MC,TILE_PX)^T(MC,8),
+    * A11 Gram: 3-pass hi/lo of (MC,dp_pad)^T(MC,dp_pad); b1: 3 GEMV passes,
+    * the VPU one-hot strip expansion (d roll+FMA passes over (MC,dp_pad)).
+
+    The worst-case static chunk count (round_up(n, MC)/MC + one padding
+    chunk per pixel tile) is exactly the compiled grid. Note these are
+    flops EXECUTED by the chosen one-hot formulation (hardware utilization),
+    not the minimal algorithmic flops of the scatter it replaces."""
+    if bf16 is None:
+        bf16 = BF16
+    dp_pad = _round_up(dim_pose, 128)
+    n_tiles = _round_up(num_pix, TILE_PX) // TILE_PX
+    n_chunks = (_round_up(max(n, 1), MC) + n_tiles * MC) // MC
+    d = 3 * order
+    passes_val = 1 if bf16 else 2  # hi/lo splitting of the value operand
+    passes_gram = 1 if bf16 else 3
+    per_chunk = (
+        2 * passes_val * (2.0 * MC * TILE_PX * dp_pad)  # A12 planes
+        + passes_val * (2.0 * MC * TILE_PX * 8)  # px5
+        + passes_gram * (2.0 * MC * dp_pad * dp_pad)  # A11
+        + passes_gram * (2.0 * MC * dp_pad)  # b1
+        + (4.0 * d + 2.0) * MC * dp_pad  # us/ux/uy strip build (VPU)
+    )
+    return n_chunks * per_chunk
+
+
 def _round_up_arr(x, m):
     return -(-x // m) * m
 
