@@ -771,8 +771,14 @@ def make_sharded_phases(
         rows_c = r_pad // n_shards
 
         def chunk(x):
-            s = jax.lax.psum(x, axes)
-            return jax.lax.dynamic_slice_in_dim(s, my * rows_c, rows_c, 0)
+            # reduce-scatter, NOT psum+slice: each device only needs its row
+            # chunk of the summed map-domain blocks, so scattering during
+            # the reduction halves the wire bytes of the largest per-
+            # iteration collective (A12: 1.6 GB/iter at a full 1024x512 row
+            # space, measured in the compiled HLO — docs/scaling_model_r4)
+            # and never materializes the full summed array per device.
+            return jax.lax.psum_scatter(x, axes, scatter_dimension=0,
+                                        tiled=True)
 
         return (
             jax.lax.psum(neq.A11, axes),
@@ -1166,10 +1172,11 @@ def make_solve_window_sharded(
             rows_c = r_pad // n_shards
 
             def chunk(x):
-                s = jax.lax.psum(x, axes)
-                return jax.lax.dynamic_slice_in_dim(
-                    s, my * rows_c, rows_c, axis=0
-                )
+                # reduce-scatter (see sharded_phases_cached.form_shard.chunk):
+                # halves the A12 reduction bytes vs psum+slice and drops the
+                # full-size replicated intermediate.
+                return jax.lax.psum_scatter(x, axes, scatter_dimension=0,
+                                            tiled=True)
 
             return (
                 jax.lax.psum(neq.A11, axes),

@@ -71,6 +71,7 @@ def run_sequence(
     outlier_dp: float = 3.0,
     spline_order: int = 2,
     light_trial: bool = False,
+    alpha: float = 0.5,
 ) -> dict:
     """``stream``: force streamed forming on/off (None = auto by event count
     vs ``stream_over``); ``stream_light`` picks the resident-light tier.
@@ -107,7 +108,7 @@ def run_sequence(
         pano_width=2 * pano_height,
         pano_height=pano_height,
         thres_valid_pixel=3,
-        alpha=0.5,
+        alpha=alpha,
         outlier_dp_norm=outlier_dp,
         spline_order=spline_order,
         light_trial=light_trial,
