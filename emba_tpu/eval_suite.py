@@ -225,9 +225,10 @@ def run_suite(out_path: str | None = None, sequences=None, **kw) -> list[dict]:
     return results
 
 
-def run_ecrot_like(out_path: str | None = None, **kw):
+def run_ecrot_like(out_path: str | None = None, max_iter: int = 30, **kw):
     """The reference-shaped suite: 240x180 sensor, 1024x512 pano, 4.8 s.
-    Pass max_events=0 to run the full (un-subsampled) event streams."""
+    Pass max_events=0 to run the full (un-subsampled) event streams;
+    max_iter=50 is the reference's launch-file regime."""
     return run_suite(
         out_path,
         sequences=ECROT_LIKE,
@@ -236,7 +237,7 @@ def run_ecrot_like(out_path: str | None = None, **kw):
         sensor_h=180,
         c_th=0.2,
         perturb=0.005,
-        max_iter=30,
+        max_iter=max_iter,
         num_steps=1500,
         **kw,
     )

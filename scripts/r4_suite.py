@@ -1,0 +1,183 @@
+"""Round-4 accuracy suite (VERDICT r3 item 1): the reference's
+max_num_iter=50 regime (launch/bicycle.launch:58), un-subsampled
+full-stream rows for the sequences the r3 subsampling hurt, streamed-tier
+parity rows, an order-4 (cubic) row, a light-trial row, and the 4K row
+restructured as the reference's own two-stage production path (pose at 1K,
+map at 4K — see the triage evidence in docs/suite_table_ecrot_r4.md).
+
+Usage (TPU): python scripts/r4_suite.py [out.json]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".cache", "jaxcache")
+)
+
+import numpy as np  # noqa: E402
+
+from emba_tpu import eval_suite as ES  # noqa: E402
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "docs/suite_ecrot_like_r4.json"
+results = []
+
+
+def save():
+    with open(os.path.join(REPO, OUT), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def log(r):
+    print(f"{r['sequence']}: rmse {r['rmse_init_deg']:.3f} -> "
+          f"{r['rmse_refined_deg']:.3f} | pe {r['photometric_init']:.1f} -> "
+          f"{r['photometric_refined']:.1f} | {r['lm_iterations']} iters "
+          f"(conv={r.get('converged')}) | {r['wall_s']:.1f}s", flush=True)
+
+
+# 1) the full reference-shaped suite at the reference's 50-iteration regime
+results += ES.run_ecrot_like(None, max_iter=50)
+save()
+
+KW = dict(pano_height=512, sensor=240, sensor_h=180, c_th=0.2,
+          perturb=0.005, num_steps=1500, max_iter=50)
+
+# 2) UN-SUBSAMPLED full-stream rows for the sequences where the 4M
+#    subsample inflated |dp| into LEGM model error (triage r4: dynamic
+#    regressed 1.92->2.20 subsampled but refines 1.92->1.60 full; city flat
+#    1.62->1.59 subsampled, 1.62->1.42 at its full 61M stream). The
+#    reference cannot run these un-subsampled (its memory remedy IS
+#    subsampling, emba.cpp:282-304); streamed forming can.
+for name in ("ecd_dynamic_like", "ecrot_city_like", "ecrot_bicycle_like"):
+    seed, motion, smooth, amp, duration = ES.ECROT_LIKE[name]
+    r = ES.run_sequence(f"{name}:full", seed, motion, smooth, amp, duration,
+                        **KW, max_events=0)
+    results.append(r)
+    log(r)
+    save()
+
+# 3) streamed-tier parity rows (accuracy must match classic)
+for name in ("ecrot_bicycle_like", "ecrot_city_like", "ecd_poster_like"):
+    seed, motion, smooth, amp, duration = ES.ECROT_LIKE[name]
+    for tag, light in (("stream_full", False), ("stream_light", True)):
+        r = ES.run_sequence(f"{name}:{tag}", seed, motion, smooth, amp,
+                            duration, **KW, stream=True, stream_light=light)
+        results.append(r)
+        log(r)
+        save()
+
+# 4) order-4 (cubic trajectory) and light-trial rows
+seed, motion, smooth, amp, duration = ES.ECROT_LIKE["ecrot_bicycle_like"]
+r = ES.run_sequence("ecrot_bicycle_like:order4", seed, motion, smooth, amp,
+                    duration, **KW, spline_order=4)
+results.append(r)
+log(r)
+save()
+r = ES.run_sequence("ecrot_bicycle_like:light_trial", seed, motion, smooth,
+                    amp, duration, **KW, light_trial=True)
+results.append(r)
+log(r)
+save()
+
+# 5) the 4K row as the reference's production path: refine the POSE at 1K,
+#    then solve the 4K map from the refined trajectory. Direct 4K pose
+#    refinement is structurally uninformative at achievable event densities
+#    (~4 events/active pixel let the map block fit the residuals, so the
+#    Schur-reduced pose gradient b1 - W b2 ~ 0 — measured flat at 50
+#    iters, 32M events, AND alpha x10; the reference publishes no 4K RMSE
+#    either, its 4K outputs are maps rendered from 1K-refined
+#    trajectories).
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from emba_tpu import metrics, model, pairing, solver, spline, synth  # noqa: E402
+
+rng = np.random.default_rng(seed)
+cam = synth.default_sensor(240, 180, f=240 * 0.9)
+B4 = synth.smooth_random_map(2048, 4096, rng, smooth, amp)
+scene = synth.generate(rng, cam, pano_width=4096, pano_height=2048,
+                       c_th=0.2, t_end=duration, dt_knots=0.05,
+                       num_steps=1500, motion_amp=motion, brightness=B4)
+steps = rng.normal(size=(scene.traj.num_knots, 3)) * 0.005
+walk = np.cumsum(steps, axis=0)
+walk -= walk[0]
+traj0 = dataclasses.replace(scene.traj,
+                            knots=spline._np_exp(walk) @ scene.traj.knots)
+ev = (scene.t, scene.x, scene.y, scene.pol)
+if len(ev[0]) > 16_000_000:
+    from emba_tpu.pipeline import systematic_subsample
+
+    ev = systematic_subsample(*ev, int(np.ceil(len(ev[0]) / 16_000_000)))
+
+# stage 1: pose+map at 1024x512. Init map = the 4K GT gradients pooled to
+# 1K (gradient per BIG pixel = 4x the block-average of per-small-pixel
+# gradients) — the front-end-map standin at 1K.
+def pool4(g):
+    h, w = g.shape
+    return 4.0 * g.reshape(h // 4, 4, w // 4, 4).mean(axis=(1, 3))
+
+cfg1 = model.ModelConfig(c_th=0.2, pano_width=1024, pano_height=512,
+                         thres_valid_pixel=3, alpha=0.5, outlier_dp_norm=3.0,
+                         use_pallas=True)
+win = pairing.build_window(ev[0], ev[1], ev[2], ev[3], cam.width,
+                           traj0.locate, 100)
+dev = model.DeviceWindow.from_window(win, cam.bearing_lut(), cam.width,
+                                     jnp.float32)
+from emba_tpu.dist import pad_window  # noqa: E402
+
+dev = pad_window(dev, 1 << 17)
+tt = np.linspace(0.02 * duration, 0.98 * duration, 300)
+R_gt = np.asarray(scene.traj.evaluate(tt))
+t0 = time.perf_counter()
+k1, gx1, gy1, st1 = solver.solve_window(
+    jnp.asarray(traj0.knots, jnp.float32),
+    jnp.asarray(pool4(scene.gx), jnp.float32),
+    jnp.asarray(pool4(scene.gy), jnp.float32),
+    dev, cfg1, solver.LMConfig(max_num_iter=50), fix_first=True,
+)
+traj1 = dataclasses.replace(traj0, knots=np.asarray(k1, np.float64))
+
+# stage 2: 4K map solve from the refined trajectory (+ small pose polish)
+cfg4 = dataclasses.replace(
+    cfg1, pano_width=4096, pano_height=2048, outlier_dp_norm=12.0,
+    compact_cap=1 << 21, stream_chunk=1 << 20,
+)
+dev4 = model.DeviceWindow.from_window(
+    win, cam.bearing_lut(), cam.width, jnp.float32,
+    pad_multiple=cfg4.stream_chunk,
+)
+lin0 = model.linearize(jnp.asarray(traj1.knots, jnp.float32),
+                       jnp.asarray(scene.gx, jnp.float32),
+                       jnp.asarray(scene.gy, jnp.float32), dev4, cfg4, False)
+pe0 = metrics.photometric_error(lin0.e)
+k2, gx2, gy2, st2 = solver.solve_window(
+    jnp.asarray(traj1.knots, jnp.float32),
+    jnp.asarray(scene.gx, jnp.float32),
+    jnp.asarray(scene.gy, jnp.float32),
+    dev4, cfg4, solver.LMConfig(max_num_iter=20), fix_first=True,
+)
+wall = time.perf_counter() - t0
+traj2 = dataclasses.replace(traj1, knots=np.asarray(k2, np.float64))
+lin1 = model.linearize(k2, gx2, gy2, dev4, cfg4, False)
+r = dict(
+    sequence="ecrot_bicycle_like:4k_two_stage",
+    num_events=win.num_events,
+    rmse_init_deg=metrics.trajectory_rmse_deg(traj0, tt, R_gt),
+    rmse_stage1_deg=metrics.trajectory_rmse_deg(traj1, tt, R_gt),
+    rmse_refined_deg=metrics.trajectory_rmse_deg(traj2, tt, R_gt),
+    photometric_init=pe0,
+    photometric_refined=metrics.photometric_error(lin1.e),
+    lm_iterations=len(st1.iterations) + len(st2.iterations),
+    converged=st2.converged,
+    wall_s=wall,
+    events_per_s=None,
+)
+results.append(r)
+log(r)
+save()
+print("wrote", OUT)
