@@ -136,6 +136,107 @@ def evaluate(knots, s, u, order: int, need_jacobian: bool = True):
     return res
 
 
+def evaluate_derivatives(knots, s, u, dt: float, order: int, degree: int = 2):
+    """Time derivatives of the cumulative SO(3) B-spline in the BODY frame:
+    angular velocity, acceleration, and jerk (reference: basalt
+    ``so3_spline.h:321-740`` — ``velocityBody``/``accelerationBody``/
+    ``jerkBody`` — re-derived rather than ported; unused by EMBA's BA but
+    part of the trajectory layer's parity surface).
+
+    Derivation: with ``R = P_s prod_j A_j``, ``A_j = exp(c_j(u) delta_j)``
+    and a FIXED axis per factor, ``dA_j/dt = A_j cdot_j hat(delta_j)``
+    (exp(c delta) commutes with hat(delta)); stacking
+    ``hat(omega_b) = R^T dR/dt`` gives the forward recursions over factors
+
+      V_j   = A_j^T V_{j-1} + cdot_j delta_j                    (velocity)
+      Vd_j  = A_j^T Vd_{j-1} - cdot_j delta_j x (A_j^T V_{j-1})
+              + cddot_j delta_j                                  (accel)
+      Vdd_j = A_j^T Vdd_{j-1} - 2 cdot_j delta_j x (A_j^T Vd_{j-1})
+              - cddot_j delta_j x (A_j^T V_{j-1})
+              + cdot_j^2 delta_j x (delta_j x (A_j^T V_{j-1}))
+              + cdddot_j delta_j                                 (jerk)
+
+    with ``c``-derivatives from the cumulative blending polynomial and the
+    chain rule ``du/dt = 1/dt``.
+
+    Args:
+      knots: (K, 3, 3); s: (Q,) int32 segment starts; u: (Q,) offsets.
+      dt: knot spacing [s]; order: spline order N (any N >= 2, static).
+      degree: 1 = velocity only, 2 = + acceleration, 3 = + jerk.
+
+    Returns (R, omega[, alpha[, jerk]]) with R (Q, 3, 3) and each
+    derivative (Q, 3) in the body frame.
+    """
+    knots = jnp.asarray(knots)
+    dtype = knots.dtype
+    u = jnp.asarray(u, dtype)
+    s = jnp.asarray(s)
+    n = order
+    blend = jnp.asarray(blending_matrix(n, cumulative=True), dtype)
+
+    def upow(deriv: int):
+        # d^deriv/du^deriv of [1, u, u^2, ...]
+        cols = []
+        for i in range(n):
+            fac = 1.0
+            for k in range(deriv):
+                fac *= i - k
+            cols.append(
+                fac * u ** (i - deriv) if i >= deriv else jnp.zeros_like(u)
+            )
+        return jnp.stack(cols, axis=-1)  # (Q, N)
+
+    coeff = upow(0) @ blend.T
+    dcoeff = (upow(1) @ blend.T) / dt
+    ddcoeff = (upow(2) @ blend.T) / dt**2 if degree >= 2 else None
+    dddcoeff = (upow(3) @ blend.T) / dt**3 if degree >= 3 else None
+
+    idx = s[:, None] + jnp.arange(n)[None, :]
+    P = knots[idx]  # (Q, N, 3, 3)
+
+    res = P[:, 0]
+    zeros = jnp.zeros(u.shape + (3,), dtype)
+    V = zeros
+    Vd = zeros
+    Vdd = zeros
+    for i in range(n - 1):
+        p0 = P[:, i]
+        p1 = P[:, i + 1]
+        delta = lie.log(jnp.swapaxes(p0, -1, -2) @ p1)  # (Q, 3)
+        c = coeff[:, i + 1]
+        A = lie.exp(c[:, None] * delta)
+        At = jnp.swapaxes(A, -1, -2)
+
+        def rot(x):
+            return jnp.einsum("qij,qj->qi", At, x)
+
+        cd = dcoeff[:, i + 1][:, None]
+        tV = rot(V)
+        if degree >= 3:
+            cdd = ddcoeff[:, i + 1][:, None]
+            cddd = dddcoeff[:, i + 1][:, None]
+            tVd = rot(Vd)
+            Vdd = (
+                rot(Vdd)
+                - 2.0 * cd * jnp.cross(delta, tVd)
+                - cdd * jnp.cross(delta, tV)
+                + cd**2 * jnp.cross(delta, jnp.cross(delta, tV))
+                + cddd * delta
+            )
+        if degree >= 2:
+            cdd = ddcoeff[:, i + 1][:, None]
+            Vd = rot(Vd) - cd * jnp.cross(delta, tV) + cdd * delta
+        V = tV + cd * delta
+        res = res @ A
+
+    out = [res, V]
+    if degree >= 2:
+        out.append(Vd)
+    if degree >= 3:
+        out.append(Vdd)
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # Host-side time bucketing and fitting.
 # ---------------------------------------------------------------------------

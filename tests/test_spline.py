@@ -1,4 +1,4 @@
-"""Spline tests: closed-form N=2 oracle, numerical Jacobians for N=2/N=4,
+"""Spline tests: closed-form N=2 oracle, numerical Jacobians for N=2..6,
 fitting round-trips. Ports the reference's two key oracles:
 
 * linear-spline Jacobian closed form ``[I - A(u), A(u)]``,
@@ -80,7 +80,7 @@ def test_linear_jacobian_closed_form():
         np.testing.assert_allclose(np.asarray(J[i, 1]), A, atol=1e-9)
 
 
-@pytest.mark.parametrize("order", [2, 4])
+@pytest.mark.parametrize("order", [2, 3, 4, 5, 6])
 def test_jacobian_numerical(order):
     """Central differences on left-perturbed knots vs analytic Jacobian.
 
@@ -175,3 +175,56 @@ def test_write_tum(tmp_path):
     np.testing.assert_allclose(data[:, 0], [1.0, 1.05, 1.1, 1.15], atol=1e-9)
     R = np.asarray(lie.quat_to_matrix(jnp.asarray(data[:, 4:8])))
     np.testing.assert_allclose(R, knots, atol=1e-9)
+
+
+@pytest.mark.parametrize("order", [2, 3, 4, 5, 6])
+def test_body_derivatives_numerical(order):
+    """velocity/acceleration/jerk in the body frame vs central differences
+    (basalt so3_spline.h:321-740 velocityBody/accelerationBody/jerkBody,
+    test_spline.cpp pattern: FD of the evaluated rotation / of the analytic
+    lower derivative)."""
+    knots = random_knots(order + 4)
+    dt = 0.2
+    t = np.array([0.42, 1.13 * dt / 0.2])  # two interior query times
+    num_knots = len(knots)
+
+    def at(tq, degree):
+        s, u = spline.locate(tq, 0.0, dt, num_knots, order)
+        return spline.evaluate_derivatives(knots, s, u, dt, order, degree)
+
+    R, w, a, j = at(t, 3)
+    R = np.asarray(R)
+    h = 1e-5
+    # omega_b: vee(R^T dR/dt) via symmetric difference of the rotation
+    Rm = np.asarray(at(t - h, 1)[0])
+    Rp = np.asarray(at(t + h, 1)[0])
+    for q in range(len(t)):
+        w_num = np.asarray(lie.log(jnp.asarray(Rm[q].T @ Rp[q]))) / (2 * h)
+        np.testing.assert_allclose(np.asarray(w[q]), w_num, atol=1e-6,
+                                   rtol=1e-5)
+    # alpha_b: FD of the analytic omega; jerk: FD of the analytic alpha
+    _, w_m, a_m = at(t - h, 2)
+    _, w_p, a_p = at(t + h, 2)
+    np.testing.assert_allclose(
+        np.asarray(a), (np.asarray(w_p) - np.asarray(w_m)) / (2 * h),
+        atol=1e-6, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j), (np.asarray(a_p) - np.asarray(a_m)) / (2 * h),
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+def test_body_velocity_linear_closed_form():
+    """N=2: omega_b is the constant geodesic rate log(P0^-1 P1)/dt inside a
+    segment (slerp), a closed-form anchor independent of the recursion."""
+    knots = random_knots(3)
+    dt = 0.5
+    s = np.array([0, 1], dtype=np.int32)
+    u = np.array([0.2, 0.7])
+    _, w = spline.evaluate_derivatives(knots, s, u, dt, 2, degree=1)
+    for q in range(2):
+        expect = np.asarray(
+            lie.log(jnp.asarray(knots[s[q]].T @ knots[s[q] + 1]))
+        ) / dt
+        np.testing.assert_allclose(np.asarray(w[q]), expect, atol=1e-9)
