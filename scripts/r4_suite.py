@@ -25,7 +25,14 @@ import numpy as np  # noqa: E402
 from emba_tpu import eval_suite as ES  # noqa: E402
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "docs/suite_ecrot_like_r4.json"
+# Resumable: relaunches skip rows already in OUT (the axon relay's remote
+# compile service occasionally drops a response mid-read; one flake must not
+# cost the multi-hour run).
 results = []
+if os.path.exists(os.path.join(REPO, OUT)):
+    results = json.load(open(os.path.join(REPO, OUT)))
+    print(f"resuming: {len(results)} rows already in {OUT}", flush=True)
+_done = {r["sequence"] for r in results}
 
 
 def save():
@@ -40,12 +47,35 @@ def log(r):
           f"(conv={r.get('converged')}) | {r['wall_s']:.1f}s", flush=True)
 
 
-# 1) the full reference-shaped suite at the reference's 50-iteration regime
-results += ES.run_ecrot_like(None, max_iter=50)
-save()
+def run_row(tag, fn, *a, **kw):
+    """Run one suite row with transient-RPC retries; skip if already done."""
+    if tag in _done:
+        print(f"skip {tag} (done)", flush=True)
+        return
+    for attempt in range(3):
+        try:
+            r = fn(*a, **kw)
+            break
+        except Exception as e:  # noqa: BLE001 — remote transport flakes
+            if attempt == 2:
+                raise
+            print(f"{tag}: attempt {attempt} failed ({type(e).__name__}: "
+                  f"{e}); retrying in 30s", flush=True)
+            time.sleep(30)
+    results.append(r)
+    _done.add(tag)
+    log(r)
+    save()
 
-KW = dict(pano_height=512, sensor=240, sensor_h=180, c_th=0.2,
-          perturb=0.005, num_steps=1500, max_iter=50)
+
+# 1) the full reference-shaped suite at the reference's 50-iteration regime
+KW50 = dict(pano_height=512, sensor=240, sensor_h=180, c_th=0.2,
+            perturb=0.005, num_steps=1500, max_iter=50)
+for name, (seed, motion, smooth, amp, duration) in ES.ECROT_LIKE.items():
+    run_row(name, ES.run_sequence, name, seed, motion, smooth, amp,
+            duration, **KW50)
+
+KW = KW50
 
 # 2) UN-SUBSAMPLED full-stream rows for the sequences where the 4M
 #    subsample inflated |dp| into LEGM model error (triage r4: dynamic
@@ -55,34 +85,25 @@ KW = dict(pano_height=512, sensor=240, sensor_h=180, c_th=0.2,
 #    subsampling, emba.cpp:282-304); streamed forming can.
 for name in ("ecd_dynamic_like", "ecrot_city_like", "ecrot_bicycle_like"):
     seed, motion, smooth, amp, duration = ES.ECROT_LIKE[name]
-    r = ES.run_sequence(f"{name}:full", seed, motion, smooth, amp, duration,
-                        **KW, max_events=0)
-    results.append(r)
-    log(r)
-    save()
+    run_row(f"{name}:full", ES.run_sequence, f"{name}:full", seed, motion,
+            smooth, amp, duration, **KW, max_events=0)
 
 # 3) streamed-tier parity rows (accuracy must match classic)
 for name in ("ecrot_bicycle_like", "ecrot_city_like", "ecd_poster_like"):
     seed, motion, smooth, amp, duration = ES.ECROT_LIKE[name]
     for tag, light in (("stream_full", False), ("stream_light", True)):
-        r = ES.run_sequence(f"{name}:{tag}", seed, motion, smooth, amp,
-                            duration, **KW, stream=True, stream_light=light)
-        results.append(r)
-        log(r)
-        save()
+        run_row(f"{name}:{tag}", ES.run_sequence, f"{name}:{tag}", seed,
+                motion, smooth, amp, duration, **KW, stream=True,
+                stream_light=light)
 
 # 4) order-4 (cubic trajectory) and light-trial rows
 seed, motion, smooth, amp, duration = ES.ECROT_LIKE["ecrot_bicycle_like"]
-r = ES.run_sequence("ecrot_bicycle_like:order4", seed, motion, smooth, amp,
-                    duration, **KW, spline_order=4)
-results.append(r)
-log(r)
-save()
-r = ES.run_sequence("ecrot_bicycle_like:light_trial", seed, motion, smooth,
-                    amp, duration, **KW, light_trial=True)
-results.append(r)
-log(r)
-save()
+run_row("ecrot_bicycle_like:order4", ES.run_sequence,
+        "ecrot_bicycle_like:order4", seed, motion, smooth, amp, duration,
+        **KW, spline_order=4)
+run_row("ecrot_bicycle_like:light_trial", ES.run_sequence,
+        "ecrot_bicycle_like:light_trial", seed, motion, smooth, amp,
+        duration, **KW, light_trial=True)
 
 # 5) the 4K row as the reference's production path: refine the POSE at 1K,
 #    then solve the 4K map from the refined trajectory. Direct 4K pose
@@ -96,6 +117,11 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from emba_tpu import metrics, model, pairing, solver, spline, synth  # noqa: E402
+
+if "ecrot_bicycle_like:4k_two_stage" in _done:
+    print("skip ecrot_bicycle_like:4k_two_stage (done)", flush=True)
+    print("wrote", OUT)
+    sys.exit(0)
 
 rng = np.random.default_rng(seed)
 cam = synth.default_sensor(240, 180, f=240 * 0.9)
