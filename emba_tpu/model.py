@@ -1005,6 +1005,115 @@ def cost_and_activity_streamed(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def map_only_step(
+    knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
+    prev_bearings=None, prev_bids=None,
+):
+    """One map-only solve step with the trajectory FIXED: the production
+    high-resolution path. The reference's 4K outputs are maps rendered from
+    1K-refined trajectories (poster: 240x180 events -> 4096x2048 maps; no
+    4K trajectory RMSE is published) — with the pose frozen the residual
+    ``e = pol C_th - G(pm).dp`` (model.cpp:194-221) is AFFINE in G, so the
+    map block decouples into per-pixel 2x2 systems ``(A22 + alpha I) x2 =
+    b2 - alpha G`` (the same blocks formNormalEq builds, model.cpp:421-447,
+    + applyL2Reg, :689-719) and one closed-form solve is the exact
+    quadratic-cost minimizer. No A11/A12 exist, so memory is O(HW + chunk)
+    at ANY pano resolution — the full 8.4M-pixel 4K grid solves without
+    active-pixel compaction (the joint path's dense A12 over a 2^21-row
+    compacted domain alone is 6.4 GB).
+
+    Requires ``cfg.stream_chunk`` (events are chunk-streamed; two passes:
+    activity+cost, then the masked A22/b2 accumulation). With
+    ``cfg.use_irls`` the weights are evaluated at the INPUT map (one IRLS
+    step per call; iterate via :func:`solve_map_only`). Returns
+    ``(Gx', Gy', cost_data, num_ev_map)`` with the reference's updateMap
+    semantics (inactive pixels reset to zero, model.cpp:863-903).
+    """
+    dt = Gx.dtype
+    hw = cfg.num_pix
+    _, n_chunks, pieces = _make_stream_chunk_fn(
+        knots, Gx, Gy, dev, cfg, False, prev_bearings, prev_bids
+    )
+
+    # pass 1: event-count activity map + data cost (pose fixed -> the
+    # inlier mask and pairing displacements are state-independent here)
+    def body_nem(c, carry):
+        cost, nem = carry
+        e_c, inl_c, pmp_c = pieces(c)[:3]
+        nem = nem.at[pmp_c].add(inl_c.astype(jnp.int32), mode="drop")
+        return cost + data_cost(e_c, cfg), nem
+
+    cost0, nem = jax.lax.fori_loop(
+        0, n_chunks, body_nem, (jnp.zeros((), dt), jnp.zeros((hw,), jnp.int32))
+    )
+    active = nem >= cfg.thres_valid_pixel
+
+    # pass 2: per-pixel 2x2 blocks + rhs, active-masked (model.cpp:421-447)
+    def body_acc(c, carry):
+        a22xx, a22xy, a22yy, b2x, b2y = carry
+        e_c, inl_c, pmp_c, _ic, _ip, dx_c, dy_c = pieces(c)
+        w = inl_c & active[pmp_c]
+        wA = jnp.where(w, irls_weights(e_c, cfg), 0.0).astype(dt)
+        we = wA * e_c
+        a22xx = a22xx.at[pmp_c].add(wA * dx_c * dx_c, mode="drop")
+        a22xy = a22xy.at[pmp_c].add(wA * dx_c * dy_c, mode="drop")
+        a22yy = a22yy.at[pmp_c].add(wA * dy_c * dy_c, mode="drop")
+        b2x = b2x.at[pmp_c].add(we * dx_c, mode="drop")
+        b2y = b2y.at[pmp_c].add(we * dy_c, mode="drop")
+        return a22xx, a22xy, a22yy, b2x, b2y
+
+    z = jnp.zeros((hw,), dt)
+    a22xx, a22xy, a22yy, b2x, b2y = jax.lax.fori_loop(
+        0, n_chunks, body_acc, (z, z, z, z, z)
+    )
+
+    # L2 regularizer on active pixels (applyL2Reg) + closed-form 2x2 solve
+    af = active.astype(dt)
+    alpha = jnp.asarray(cfg.alpha, dt)
+    gx_f, gy_f = Gx.reshape(-1).astype(dt), Gy.reshape(-1).astype(dt)
+    a = a22xx + alpha * af
+    b = a22xy
+    d = a22yy + alpha * af
+    rx = b2x - alpha * gx_f * af
+    ry = b2y - alpha * gy_f * af
+    det = a * d - b * b
+    det_safe = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    ok = (active & (jnp.abs(det) >= 1e-30)).astype(dt) / det_safe
+    x2x = (d * rx - b * ry) * ok
+    x2y = (a * ry - b * rx) * ok
+    gx_new = jnp.where(active, gx_f + x2x, 0.0).reshape(Gx.shape)
+    gy_new = jnp.where(active, gy_f + x2y, 0.0).reshape(Gy.shape)
+    return gx_new, gy_new, cost0, nem
+
+
+def solve_map_only(
+    knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig, num_iters: int = 1,
+    prev_bearings=None, prev_bids=None,
+):
+    """Solve the map from a FIXED trajectory (reference production 4K path;
+    see :func:`map_only_step`). One iteration is exact for the quadratic
+    cost; pass ``num_iters > 1`` to refresh IRLS weights between solves.
+    Returns ``(Gx, Gy, costs)`` where ``costs`` has ``num_iters + 1``
+    data-cost evaluations (the last one measured at the final map)."""
+    if cfg.stream_chunk is None:
+        cfg = dataclasses.replace(cfg, stream_chunk=1 << 20)
+    if cfg.compact_cap is not None:
+        # rows ARE pixels here; compaction has nothing to compact
+        cfg = dataclasses.replace(cfg, compact_cap=None)
+    costs = []
+    for _ in range(num_iters):
+        Gx, Gy, cost, _nem = map_only_step(
+            knots, Gx, Gy, dev, cfg, prev_bearings, prev_bids
+        )
+        costs.append(float(cost))
+    _gx, _gy, cost, _nem = map_only_step(
+        knots, Gx, Gy, dev, cfg, prev_bearings, prev_bids
+    )
+    costs.append(float(cost))
+    return Gx, Gy, costs
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def linearize_streamed_light(
     knots, Gx, Gy, dev: DeviceWindow, cfg: ModelConfig,
     prev_bearings=None, prev_bids=None,

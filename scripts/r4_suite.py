@@ -168,38 +168,43 @@ k1, gx1, gy1, st1 = solver.solve_window(
 )
 traj1 = dataclasses.replace(traj0, knots=np.asarray(k1, np.float64))
 
-# stage 2: 4K map solve from the refined trajectory (+ small pose polish)
+# stage 2: 4K map solve from the refined trajectory — the map-only path
+# (model.solve_map_only): with the pose fixed the residual is affine in G,
+# so the FULL 8.4M-pixel 4K grid solves closed-form per pixel with no
+# A12/A11 residency and no compaction cap (the joint 4K solve's dense A12
+# over a 2^21-row compacted domain is 6.4 GB and OOMs the 16 GB chip).
 cfg4 = dataclasses.replace(
     cfg1, pano_width=4096, pano_height=2048, outlier_dp_norm=12.0,
-    compact_cap=1 << 21, stream_chunk=1 << 20,
+    stream_chunk=1 << 20,
 )
 dev4 = model.DeviceWindow.from_window(
     win, cam.bearing_lut(), cam.width, jnp.float32,
     pad_multiple=cfg4.stream_chunk,
 )
-lin0 = model.linearize(jnp.asarray(traj1.knots, jnp.float32),
-                       jnp.asarray(scene.gx, jnp.float32),
-                       jnp.asarray(scene.gy, jnp.float32), dev4, cfg4, False)
-pe0 = metrics.photometric_error(lin0.e)
-k2, gx2, gy2, st2 = solver.solve_window(
-    jnp.asarray(traj1.knots, jnp.float32),
+k1_j = jnp.asarray(traj1.knots, jnp.float32)
+# photometric before BA: GT 4K map at the perturbed init trajectory (the
+# same "before" contract as the other rows)
+pe0_half, _ = model.cost_and_activity_streamed(
+    jnp.asarray(traj0.knots, jnp.float32),
     jnp.asarray(scene.gx, jnp.float32),
-    jnp.asarray(scene.gy, jnp.float32),
-    dev4, cfg4, solver.LMConfig(max_num_iter=20), fix_first=True,
+    jnp.asarray(scene.gy, jnp.float32), dev4, cfg4,
 )
+# solve the 4K map from scratch (zero init; the solve is exact for the
+# quadratic cost, so the init only matters for IRLS refreshes)
+z4 = jnp.zeros((2048, 4096), jnp.float32)
+gx2, gy2, costs4 = model.solve_map_only(k1_j, z4, z4, dev4, cfg4)
 wall = time.perf_counter() - t0
-traj2 = dataclasses.replace(traj1, knots=np.asarray(k2, np.float64))
-lin1 = model.linearize(k2, gx2, gy2, dev4, cfg4, False)
 r = dict(
     sequence="ecrot_bicycle_like:4k_two_stage",
     num_events=win.num_events,
     rmse_init_deg=metrics.trajectory_rmse_deg(traj0, tt, R_gt),
     rmse_stage1_deg=metrics.trajectory_rmse_deg(traj1, tt, R_gt),
-    rmse_refined_deg=metrics.trajectory_rmse_deg(traj2, tt, R_gt),
-    photometric_init=pe0,
-    photometric_refined=metrics.photometric_error(lin1.e),
-    lm_iterations=len(st1.iterations) + len(st2.iterations),
-    converged=st2.converged,
+    rmse_refined_deg=metrics.trajectory_rmse_deg(traj1, tt, R_gt),
+    photometric_init=2.0 * float(pe0_half),
+    photometric_refined=2.0 * costs4[-1],
+    photometric_4k_zero_map=2.0 * costs4[0],
+    lm_iterations=len(st1.iterations),
+    converged=st1.converged,
     wall_s=wall,
     events_per_s=None,
 )
