@@ -57,10 +57,18 @@ MC = int(os.environ.get("EMBA_MC", "256"))  # measurements per grid step
 # accumulation is always f32.
 BF16 = os.environ.get("EMBA_KERNEL_BF16") == "1"
 
-# Packed index row: i_c (11 bits) | i_p (11 bits) | in-tile pixel (9 bits).
+# Packed index row: FLAG (bit 30) | i_c (10 bits) | i_p (11 bits) |
+# in-tile pixel (9 bits). The payload rides (np_rows, N) f32 buffers through
+# XLA sorts/gathers before the kernel sees it, and raw small bit patterns
+# are f32 DENORMALS that TPU data paths may flush to zero (measured on the
+# analogous prev-batch-id packing in model.py). Bit 30 pins the f32
+# exponent field to [0x80, 0xFE] for every i_c < 1016 — always a normal,
+# non-NaN float, so the round-trip is FTZ-proof.
 _IC_SHIFT, _IP_SHIFT = 20, 9
-_IDX_MASK, _PX_MASK = 0x7FF, 0x1FF
-MAX_KNOTS = 2048  # i_c / i_p must fit 11 bits
+_IC_MASK, _IDX_MASK, _PX_MASK = 0x3FF, 0x7FF, 0x1FF
+_NORM_FLAG = 0x40000000
+MAX_SEG_IC = 1016  # i_c must stay < 1016 (10 bits, exponent != 0xFF)
+MAX_KNOTS = 2048  # i_p must fit 11 bits
 assert TILE_PX <= 512, "packed in-tile pixel index is 9 bits (TILE_PX <= 512)"
 
 
@@ -121,7 +129,7 @@ def _kernel(
     # weights are zero, so every contribution vanishes regardless of the
     # decoded indices).
     packed = jax.lax.bitcast_convert_type(payload_ref[0, :], jnp.int32)
-    colc = (3 * ((packed >> _IC_SHIFT) & _IDX_MASK)).astype(jnp.float32)
+    colc = (3 * ((packed >> _IC_SHIFT) & _IC_MASK)).astype(jnp.float32)
     colp = (3 * ((packed >> _IP_SHIFT) & _IDX_MASK)).astype(jnp.float32)
     plocal = (packed & _PX_MASK).astype(jnp.float32)
     swdx = payload_ref[1 + 2 * d, :]
@@ -257,6 +265,12 @@ def a12_accumulate(
             "packed index row carries 11-bit knot indices (use the chunked "
             "long fit for longer trajectories)"
         )
+    if dim_pose // 3 - order + 1 > MAX_SEG_IC:
+        raise ValueError(
+            f"a12_accumulate: {dim_pose // 3} knots exceed the FTZ-proof "
+            f"10-bit curr-segment range ({MAX_SEG_IC} segments) — set "
+            "use_pallas=False (XLA producer) or split the window"
+        )
     d = 3 * order
     dp_pad = _round_up(dim_pose, 128)
     hw_pad = _round_up(num_pix, TILE_PX)
@@ -366,7 +380,10 @@ def _bucket_prepass(pm_pix, i_c, i_p, Jc, Jp, dx, dy, e, wA, num_pix: int):
         pm_pix % TILE_PX
     )
     packed = (
-        (i_c << _IC_SHIFT) | (i_p << _IP_SHIFT) | plocal.astype(jnp.int32)
+        _NORM_FLAG
+        | (i_c << _IC_SHIFT)
+        | (i_p << _IP_SHIFT)
+        | plocal.astype(jnp.int32)
     )
     payload = jnp.concatenate(
         [

@@ -46,6 +46,12 @@ from .camera import EquirectangularCamera
 # Measurement-chunk size for the normal-equation scan (static).
 CHUNK = 1 << 16
 
+# Bias added to int32 values before bitcasting them into f32 payload rows:
+# raw small ints are f32 denormals, which TPU compute/copy passes flush to
+# zero (FTZ). 0x40000000 puts every id < 2^23 at exponent 0x80 (a normal
+# float in [2, 4)), making the bitcast round-trip FTZ-proof.
+_BID_BIAS = 0x40000000
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
@@ -822,11 +828,17 @@ def _make_stream_chunk_fn(
     )
     merge_prev = dt == jnp.float32 and not have_prev_src
     if merge_prev:
+        # Batch ids ride the bearing gather as bitcast f32 — but raw small
+        # int32 bit patterns are f32 DENORMALS, which the TPU flushes to
+        # zero inside the fused concat+gather (measured: every prev batch id
+        # < 2^23 came back 0, collapsing the pairing to the window start).
+        # Bias by 0x40000000 (exponent 0x80): all ids < 2^23 bitcast to
+        # normal floats in [2, 4), which survive any FTZ pass bit-exactly.
         prev_src = jnp.concatenate(
             [
                 dev.bearings,
                 jax.lax.bitcast_convert_type(
-                    dev.batch_ids, jnp.float32
+                    dev.batch_ids + _BID_BIAS, jnp.float32
                 )[None, :],
             ],
             axis=0,
@@ -854,7 +866,9 @@ def _make_stream_chunk_fn(
         elif merge_prev:
             prev_c = sl(prev_pd)
             prev_g = jnp.take(prev_src, prev_c, axis=1)  # (4, sc)
-            bid_p = jax.lax.bitcast_convert_type(prev_g[3], jnp.int32)
+            bid_p = (
+                jax.lax.bitcast_convert_type(prev_g[3], jnp.int32) - _BID_BIAS
+            )
             b_p = prev_g[:3]
         else:  # f64 (CPU / oracle parity): no 32-bit bitcast packing
             prev_c = sl(prev_pd)
@@ -1100,6 +1114,9 @@ def solve_map_only(
     if cfg.compact_cap is not None:
         # rows ARE pixels here; compaction has nothing to compact
         cfg = dataclasses.replace(cfg, compact_cap=None)
+    if prev_bearings is None:
+        # state-independent: gather once, reuse across every pass
+        prev_bearings, prev_bids = prev_records(dev)
     costs = []
     for _ in range(num_iters):
         Gx, Gy, cost, _nem = map_only_step(

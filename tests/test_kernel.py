@@ -130,13 +130,16 @@ def test_kernel_tiny_n():
     check(make_inputs(rng, 3, 1024, 5, "uniform"), 1024, 5)
 
 
-def test_kernel_nan_bit_pattern_indices():
-    """Knot indices whose packed bit pattern forms a float32 NaN/Inf
-    (i_c in [2040, 2047] puts all-ones in the exponent field) must ride
-    the bitcast payload row unchanged through sort/gather."""
+def test_kernel_extreme_bit_pattern_indices():
+    """Boundary knot indices of the FTZ-proof packing (i_c up to
+    MAX_SEG_IC - 1 drives the f32 exponent field to 0xFE; i_c = 0 with the
+    NORM_FLAG gives exponent 0x80 — never a denormal or NaN, which TPU
+    data paths would flush/canonicalize) must ride the bitcast payload row
+    unchanged through sort/gather."""
     rng = np.random.default_rng(3)
-    knots = K.MAX_KNOTS  # i_c up to 2046 — includes the NaN-exponent range
-    args = make_inputs(rng, 400, 2048, knots, "uniform", knot_lo=2040)
+    knots = K.MAX_SEG_IC + 1  # i_c up to MAX_SEG_IC - 1 (exponent 0xFE)
+    args = make_inputs(rng, 400, 2048, knots, "uniform",
+                       knot_lo=K.MAX_SEG_IC - 8)
     dim_pose = 3 * knots
     a12, px5, _a11b = K.a12_accumulate(
         *(jnp.asarray(a) for a in args), num_pix=2048, dim_pose=dim_pose,
