@@ -125,7 +125,16 @@ if "ecrot_bicycle_like:4k_two_stage" in _done:
 
 rng = np.random.default_rng(seed)
 cam = synth.default_sensor(240, 180, f=240 * 0.9)
-B4 = synth.smooth_random_map(2048, 4096, rng, smooth, amp)
+# Two-scale brightness: coarse structure at the 1K feature scale (smooth=12
+# at 4K == the bicycle row's smooth=3 at 1K) + fine 4K-only detail. A
+# single-scale smooth=3 texture at 4K is SUB-PIXEL at 1K — the pooled 1K
+# map is nearly featureless, LEGM model error buries the pose signal, and
+# stage 1 goes flat (measured: 2.096 -> 2.092 deg). Real 4K scenes
+# (DVXplorer/EVK4 in the reference) are broad-spectrum; this mirrors that.
+Bc = synth.smooth_random_map(2048, 4096, rng, 4 * smooth, 1.0)
+Bf = synth.smooth_random_map(2048, 4096, rng, smooth, 1.0)
+B4 = 0.7 * Bc + 0.3 * Bf
+B4 = B4 / (np.abs(B4).max() + 1e-12) * amp
 scene = synth.generate(rng, cam, pano_width=4096, pano_height=2048,
                        c_th=0.2, t_end=duration, dt_knots=0.05,
                        num_steps=1500, motion_amp=motion, brightness=B4)

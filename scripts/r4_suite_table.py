@@ -75,7 +75,11 @@ L += [
     "The reference column is its published real-data CMax-SLAM+EMBA result",
     "(BASELINE.md) — different data, same contract: BA pulls a",
     "front-end-quality init toward GT while driving photometric error down",
-    "~10-25x on every sequence.",
+    "~10-25x on every sequence. The subsampled `ecd_dynamic_like` row is",
+    "kept as the diagnostic ablation of the subsampling artifact analyzed",
+    "in the next section; the framework's production configuration for that",
+    "sequence (the full stream — streaming is the default, subsampling is",
+    "opt-in) refines 1.92 -> 1.60.",
     "",
     "## Un-subsampled full-stream A/B (the weak-row triage)",
     "",
@@ -162,27 +166,40 @@ L += [
 k4 = rows.get("ecrot_bicycle_like:4k_two_stage")
 if k4:
     L += [
-        "| stage | RMSE [deg] | photometric | iters | wall [s] |",
-        "|---|---|---|---|---|",
-        f"| init | {k4['rmse_init_deg']:.2f} | "
-        f"{k4['photometric_init']:.0f} | - | - |",
-        f"| stage 1: pose+map at 1024x512 | {k4['rmse_stage1_deg']:.2f} | - |"
-        f" (part of {k4['lm_iterations']}) | - |",
-        f"| stage 2: 4K map solve + pose polish | "
-        f"**{k4['rmse_refined_deg']:.2f}** | "
-        f"{k4['photometric_refined']:.0f} | {k4['lm_iterations']} total | "
-        f"{k4['wall_s']:.0f} |",
+        f"Scene: two-scale brightness (coarse structure at the 1K feature",
+        "scale + fine 4K-only detail — single-scale 4K texture is sub-pixel",
+        "at 1K and buries the pose signal in LEGM model error; real 4K",
+        f"scenes are broad-spectrum), {k4['num_events']:,} events",
+        "(subsampled to <= 16M for the 1K stage).",
         "",
-        "Round-3's direct 4K refinement row was RMSE-flat; triage showed why:",
-        "at achievable synthetic event densities (~4 events per active 4K",
-        "pixel) the map block can absorb the residuals, so the Schur-reduced",
-        "pose gradient b1 - A12 A22^-1 b2 ~= 0 — measured flat at 50 iters,",
-        "more events (32M), AND 10x map regularization. The reference's own",
-        "4K outputs are maps rendered from 1K-refined trajectories (poster:",
-        "240x180 -> 4K super-resolution maps; no 4K RMSE is published).",
-        "This row reproduces that production path: refine the pose at 1K,",
-        "then solve the 4K map (compaction cap 2^21, 12 px outlier cut)",
-        "from the refined trajectory.",
+        "| stage | RMSE [deg] | photometric (4K) | iters | wall [s] |",
+        "|---|---|---|---|---|",
+        f"| init (perturbed pose, GT 4K map) | {k4['rmse_init_deg']:.2f} | "
+        f"{k4['photometric_init']:.0f} | - | - |",
+        f"| stage 1: joint pose+map BA at 1024x512 | "
+        f"**{k4['rmse_stage1_deg']:.2f}** |"
+        f" - | {k4['lm_iterations']} | - |",
+        f"| stage 2: full-grid 4K map via `solve_map_only` | "
+        f"{k4['rmse_refined_deg']:.2f} | "
+        f"{k4['photometric_refined']:.0f} | 1 (closed form) | "
+        f"{k4['wall_s']:.0f} (both) |",
+        "",
+        "Round-3's direct joint 4K refinement row was RMSE-flat; triage",
+        "showed why: at achievable synthetic event densities (~4 events per",
+        "active 4K pixel) the map block can absorb the residuals, so the",
+        "Schur-reduced pose gradient b1 - A12 A22^-1 b2 ~= 0 — measured",
+        "flat at 50 iters, more events (32M), AND 10x map regularization.",
+        "The reference's own 4K outputs are maps rendered from 1K-refined",
+        "trajectories (poster: 240x180 -> 4K super-resolution maps; no 4K",
+        "RMSE is published). This row reproduces that production path:",
+        "refine the pose at 1K (joint BA), then solve the FULL 8.4M-pixel",
+        "4K map closed-form with the pose fixed (`model.solve_map_only` —",
+        "the residual is affine in G, so one per-pixel 2x2 solve is the",
+        "exact regularized minimizer; no compaction cap, no dropped",
+        "pixels, O(HW) memory — the joint path's dense A12 at 4K is 6.4 GB",
+        "and OOMs the chip). The stage-2 photometric error is measured",
+        "against the solved 4K map at the refined pose; the zero-map",
+        f"baseline is {k4.get('photometric_4k_zero_map', 0):.0f}.",
     ]
 L.append("")
 with open(os.path.join(REPO, DST), "w") as f:
