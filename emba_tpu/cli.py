@@ -73,6 +73,7 @@ def _cmd_run(args):
         "num_devices",
         "time_window_size",
         "sliding_window_stride",
+        "super_res_height",
     ):
         v = getattr(args, k, None)
         if v is not None:
@@ -332,6 +333,12 @@ def main(argv=None):
     )
     r.add_argument("--irls", choices=["huber", "cauchy"])
     r.add_argument("--spline-order", dest="spline_order", type=int, choices=[2, 4])
+    r.add_argument(
+        "--super-res-height", dest="super_res_height", type=int,
+        help="after BA, solve a full-grid super-resolution map at this pano "
+        "height (width 2x) from the refined trajectory (the reference's "
+        "production 4K path); saves Gx_sr/Gy_sr + HSV + Poisson PNGs",
+    )
     r.add_argument(
         "--debug-nans", action="store_true",
         help="enable jax_debug_nans (numerical failure detection)",

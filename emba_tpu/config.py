@@ -113,6 +113,15 @@ class BAConfig:
     # solved by dist.make_solve_window_sharded over an (n, 1) mesh with
     # events sharded across all chips and exact halo pairing.
     num_devices: int | None = None
+    # Super-resolution map output (the reference's production 4K path: its
+    # 4K panoramas are maps rendered from 1K-refined trajectories — poster,
+    # DVXplorer/EVK4 rows). After the BA run, solve the FULL pixel grid at
+    # this pano height (width = 2x) closed-form from the refined trajectory
+    # (model.solve_map_only: with the pose fixed the residual is affine in
+    # G, so one per-pixel 2x2 solve is the exact regularized minimizer; no
+    # compaction, O(HW + chunk) memory at any resolution). Saved as
+    # final_results/Gx_sr.bin / Gy_sr.bin (+ PNGs). None disables.
+    super_res_height: int | None = None
 
     def model_config(self) -> ModelConfig:
         if self.use_pallas is None:

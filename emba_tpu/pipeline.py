@@ -286,6 +286,49 @@ class EmbaPipeline:
         )
         eio.save_png(os.path.join(base, f"{pre}poisson_{it:04d}.png"), bright)
 
+    def solve_super_res_map(self, height: int, width: int | None = None):
+        """Production super-resolution map: solve the FULL pixel grid at
+        ``height`` (width 2x) closed-form from the REFINED trajectory over
+        every event inside its time support (``model.solve_map_only``).
+
+        This is the reference's production high-resolution path — its 4K
+        panoramas are maps rendered from 1K-refined trajectories (poster:
+        240x180 events -> 4096x2048 maps; DVXplorer/EVK4 rows) — made a
+        first-class output: with the pose fixed the LEGM residual is affine
+        in G, so one per-pixel 2x2 solve is the exact regularized-quadratic
+        minimizer, with no A11/A12 residency and no compaction cap at any
+        resolution. The pairing-displacement outlier cut scales with the
+        resolution ratio (it is measured in pano pixels). Returns
+        ``(gx, gy, costs)``; ``costs`` are the data-cost evaluations of
+        :func:`model.solve_map_only` (last = at the solved map)."""
+        W = width or 2 * height
+        cfg0 = self.cfg.model_config()
+        scale = height / cfg0.pano_height
+        chunk = cfg0.stream_chunk or (1 << 20)
+        mcfg = dataclasses.replace(
+            cfg0,
+            pano_width=W,
+            pano_height=height,
+            outlier_dp_norm=cfg0.outlier_dp_norm * scale,
+            compact_cap=None,
+            stream_chunk=chunk,
+        )
+        m = (self.t >= self.traj.t_beg) & (self.t <= self.traj.t_end - 1e-9)
+        win = pairing.build_window(
+            self.t[m], self.x[m], self.y[m], self.pol[m], self.camera.width,
+            self.traj.locate, self.cfg.event_batch_size,
+        )
+        dev = model.DeviceWindow.from_window(
+            win, self.bearing_lut, self.camera.width, self.dtype,
+            pad_multiple=chunk,
+        )
+        z = jnp.zeros((height, W), self.dtype)
+        k = jnp.asarray(self.traj.knots, self.dtype)
+        gx, gy, costs = model.solve_map_only(
+            k, z, z, dev, mcfg, num_iters=3 if mcfg.use_irls else 1,
+        )
+        return np.asarray(gx), np.asarray(gy), costs
+
     def _save_evo(self, win_id: int, it: int, gx, gy):
         """Per-LM-iteration evolution dumps (reference ``saveEvoData``,
         solver.cpp:370-425): the evolving Gx/Gy/HSV images plus the Poisson
@@ -784,6 +827,39 @@ class EmbaPipeline:
                 self.gx,
                 self.gy,
             )
+            if cfg.super_res_height:
+                gx_sr, gy_sr, costs_sr = self.solve_super_res_map(
+                    cfg.super_res_height
+                )
+                fr = os.path.join(self.result_dir, "final_results")
+                eio.save_map_bin(
+                    os.path.join(fr, "Gx_sr.bin"),
+                    os.path.join(fr, "Gy_sr.bin"),
+                    gx_sr,
+                    gy_sr,
+                )
+                eio.save_png(
+                    os.path.join(fr, "G_hsv_sr.png"),
+                    eio.gradient_hsv_image(gx_sr, gy_sr),
+                )
+                eio.save_png(
+                    os.path.join(fr, "poisson_sr.png"),
+                    np.asarray(
+                        recon.reconstruct_from_gradient(
+                            jnp.asarray(gx_sr), jnp.asarray(gy_sr)
+                        )
+                    ),
+                )
+                with open(os.path.join(fr, "super_res.json"), "w") as f:
+                    json.dump(
+                        {
+                            "height": cfg.super_res_height,
+                            "width": gx_sr.shape[1],
+                            "data_costs": costs_sr,
+                        },
+                        f,
+                        indent=2,
+                    )
             self._write_runtime(window_stats)
             if self._iter_log is not None:
                 self._iter_log.close()

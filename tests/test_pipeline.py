@@ -808,3 +808,56 @@ def test_fused_event_cap_fallback(dataset, tmp_path):
     assert rt["lm_mode"][0] == "host(fused-cap-fallback)"
     # host loop ran: per-phase timing is real
     assert rt["phases_s"]["form"] > 0
+
+
+def test_pipeline_super_res_map(dataset, tmp_path):
+    """--super-res-height: after BA the pipeline solves a full-grid 2x map
+    from the refined trajectory (model.solve_map_only — the reference's
+    production high-resolution path) and saves the _sr artifacts."""
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"), str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.0,
+        stop_time=0.6,
+        c_th=0.1,
+        alpha=0.5,
+        max_num_iter=2,
+        dt_knots=0.05,
+        dtype="float64",
+        outlier_dp_norm=3.0,
+        super_res_height=128,  # 2x the 64-high BA pano
+    )
+    res_dir = tmp_path / "sr_results"
+    pipe = EmbaPipeline(
+        cfg,
+        load_camera_yaml(str(dataset / "calib.yaml")),
+        (t, x, y, pol),
+        times,
+        rots,
+        init_gx=gx,
+        init_gy=gy,
+        result_dir=str(res_dir),
+        record_data=True,
+    )
+    pipe.run()
+    fr = res_dir / "final_results"
+    gx_sr, gy_sr = eio.load_map_bin(str(fr / "Gx_sr.bin"), str(fr / "Gy_sr.bin"))
+    assert gx_sr.shape == (128, 256)
+    assert np.isfinite(gx_sr).all() and np.isfinite(gy_sr).all()
+    assert (fr / "G_hsv_sr.png").exists() and (fr / "poisson_sr.png").exists()
+    sr = json.loads((fr / "super_res.json").read_text())
+    # the closed-form solve is the exact quadratic minimizer: final data
+    # cost must beat the zero-map baseline
+    assert sr["data_costs"][-1] < sr["data_costs"][0]
+    # the solved 2x map is real signal: it correlates with the BA map
+    # pooled comparison (gradient per BIG pixel = 2x block-average)
+    pool = gx_sr.reshape(64, 2, 128, 2).mean(axis=(1, 3)) * 2.0
+    gx_ba, _ = eio.load_map_bin(str(fr / "Gx.bin"), str(fr / "Gy.bin"))
+    act = (np.abs(pool) > 1e-6) & (np.abs(gx_ba) > 1e-6)
+    c = np.corrcoef(pool[act], gx_ba[act])[0, 1]
+    assert c > 0.5, c
