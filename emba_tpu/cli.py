@@ -66,6 +66,7 @@ def _cmd_run(args):
         "pano_height",
         "dtype",
         "outlier_dp_norm",
+        "sample_mode",
         "thres_valid_pixel",
         "compact_cap",
         "stream_chunk",
@@ -298,6 +299,11 @@ def main(argv=None):
     r.add_argument("--pano-height", dest="pano_height", type=int)
     r.add_argument("--dtype", choices=["float32", "float64"])
     r.add_argument("--outlier-dp", dest="outlier_dp_norm", type=float)
+    r.add_argument(
+        "--sample-mode", dest="sample_mode", choices=["curr", "mid"],
+        help="LEGM map sampling point: curr (reference) or mid "
+        "(midpoint-rule quadrature, halves large-|dp| model error)",
+    )
     r.add_argument("--thres-valid-pixel", dest="thres_valid_pixel", type=int)
     r.add_argument("--use-cg", action="store_true")
     r.add_argument(

@@ -32,6 +32,11 @@ class BAConfig:
     alpha: float = 5.0
     damping_factor: float = 1.0
     outlier_dp_norm: float = 10.0
+    # Map sampling point for the LEGM residual/Jacobians: "curr" (the
+    # reference formulation, model.cpp:194-221) or "mid" (midpoint-rule
+    # quadrature — halves the linearization's systematic error on large
+    # inter-event displacements at zero cost; see ModelConfig.sample_mode).
+    sample_mode: str = "curr"
 
     # Solver options
     use_cg: bool = False
@@ -139,6 +144,7 @@ class BAConfig:
             thres_valid_pixel=self.thres_valid_pixel,
             alpha=self.alpha,
             outlier_dp_norm=self.outlier_dp_norm,
+            sample_mode=self.sample_mode,
             use_irls=self.use_irls,
             cost_type=self.cost_type if self.use_irls else "quadratic",
             eta=self.eta if self.use_irls else 1.0,

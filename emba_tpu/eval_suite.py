@@ -72,6 +72,8 @@ def run_sequence(
     spline_order: int = 2,
     light_trial: bool = False,
     alpha: float = 0.5,
+    sample_mode: str = "curr",
+    coarse_to_fine: bool = False,
 ) -> dict:
     """``stream``: force streamed forming on/off (None = auto by event count
     vs ``stream_over``); ``stream_light`` picks the resident-light tier.
@@ -81,7 +83,12 @@ def run_sequence(
     reference uses 10 px at 1024, model.cpp:200). ``spline_order=4`` refits
     the GT trajectory as a cubic spline (reference CubicTrajectory) and
     runs the BA with D=12 blocks. ``light_trial``: cost-only LM trials
-    (relinearize-on-accept)."""
+    (relinearize-on-accept). ``sample_mode``: LEGM map sampling point —
+    "curr" (reference) or "mid" (midpoint quadrature,
+    ModelConfig.sample_mode). ``coarse_to_fine``: pre-solve the pose at a
+    HALF-resolution pano (|dp| in pixels halves — exactly the LEGM
+    linearization's validity axis) and refine at full resolution from the
+    coarse-refined knots; wall/iteration counts cover both stages."""
     if dtype is None:
         dtype = jnp.float32
     rng = np.random.default_rng(seed)
@@ -112,6 +119,7 @@ def run_sequence(
         outlier_dp_norm=outlier_dp,
         spline_order=spline_order,
         light_trial=light_trial,
+        sample_mode=sample_mode,
         use_pallas=(jax.default_backend() == "tpu" and dtype == jnp.float32),
     )
     base_traj = scene.traj
@@ -179,8 +187,38 @@ def run_sequence(
     pe0 = metrics.photometric_error(lin0.e)
 
     t0 = time.perf_counter()
+    knots0 = jnp.asarray(traj0.knots, dtype)
+    coarse_iters = 0
+    if coarse_to_fine:
+        # Stage 1: pose at HALF pano resolution. |dp| in pixels halves —
+        # the LEGM linearization's systematic-error axis — so the coarse
+        # stage pulls the pose through the large-|dp| regime before the
+        # full-resolution refine. The DeviceWindow is pano-independent
+        # (bearings + pairing only), so both stages share it. The init map
+        # is the full-res init pooled 2x (gradient per big pixel = 2x the
+        # block-average of the small-pixel gradients).
+        def pool2(g):
+            h, w = g.shape
+            return 2.0 * g.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+        cfg_c = dataclasses.replace(
+            cfg,
+            pano_width=pano_height,
+            pano_height=pano_height // 2,
+            outlier_dp_norm=max(0.5 * outlier_dp, 1.5),
+        )
+        knots0, _, _, st_c = solver.solve_window(
+            knots0,
+            jnp.asarray(pool2(scene.gx), dtype),
+            jnp.asarray(pool2(scene.gy), dtype),
+            dev,
+            cfg_c,
+            solver.LMConfig(max_num_iter=max_iter),
+            fix_first=True,
+        )
+        coarse_iters = len(st_c.iterations)
     knots, Gx, Gy, st = solver.solve_window(
-        jnp.asarray(traj0.knots, dtype),
+        knots0,
         jnp.asarray(scene.gx, dtype),
         jnp.asarray(scene.gy, dtype),
         dev,
@@ -200,7 +238,7 @@ def run_sequence(
         rmse_refined_deg=metrics.trajectory_rmse_deg(trajR, tt, R_gt),
         photometric_init=pe0,
         photometric_refined=metrics.photometric_error(lin1.e),
-        lm_iterations=len(st.iterations),
+        lm_iterations=coarse_iters + len(st.iterations),
         converged=st.converged,
         wall_s=wall,
         events_per_s=st.events_per_second()["total"],

@@ -96,6 +96,19 @@ class ModelConfig:
     # tolerance). Ignored when stream_chunk is set (the
     # streamed FULL tier already has this structure).
     light_trial: bool = False
+    # Map sampling point of the LEGM residual/Jacobians. "curr" is the
+    # reference formulation: G and its second-order gradients are evaluated
+    # at the CURR event's pano pixel (model.cpp:194-221, 238-241). "mid"
+    # evaluates them at the (pm_prev, pm_curr) MIDPOINT pixel — a midpoint-
+    # rule quadrature of the brightness increment G . dp whose Taylor error
+    # is O(|dp|^3) instead of the rectangle rule's O(|dp|^2), halving the
+    # LEGM's systematic error on large inter-event displacements at zero
+    # extra cost (same gathers, same block structure; the pose Jacobians
+    # become symmetric: Jc = (G + dp^T G2 / 2) . dpm_c,
+    # Jp = (dp^T G2 / 2 - G) . dpm_p; map blocks key on the midpoint pixel).
+    # A framework extension beyond the reference (measured A/B in
+    # docs/suite_table_ecrot_r5.md).
+    sample_mode: str = "curr"  # curr | mid
     # Two-tier streaming (with stream_chunk set): the LIGHT tier keeps the
     # (N,)-sized residual fields of the linearization resident and
     # chunk-recomputes ONLY the (D, N) Jacobians — the fast tier, ~25 B/event
@@ -286,10 +299,19 @@ def _pair_residual(pmx, pmy, ppx, ppy, has_prev, pol_signed, gmaps, cfg):
     dp_norm2 = dx * dx + dy * dy
     inlier = has_prev & (dp_norm2 <= cfg.outlier_dp_norm**2)
 
-    # Nearest pano pixel of the curr event (std::round = half away from zero;
-    # pm >= 0 here so floor(pm + 0.5) matches; reference model.cpp:209-211).
-    px = jnp.clip(jnp.floor(pmx + 0.5).astype(jnp.int32), 0, cfg.pano_width - 1)
-    py = jnp.clip(jnp.floor(pmy + 0.5).astype(jnp.int32), 0, cfg.pano_height - 1)
+    # Map sampling point: the curr event (reference model.cpp:209-211) or
+    # the pair midpoint (cfg.sample_mode="mid", midpoint-rule quadrature —
+    # see ModelConfig). Surviving pairs have |dp| <= outlier_dp_norm, so the
+    # midpoint never straddles the pano seam further than dp itself does.
+    if cfg.sample_mode == "mid":
+        sx = 0.5 * (pmx + ppx)
+        sy = 0.5 * (pmy + ppy)
+    else:
+        sx, sy = pmx, pmy
+    # Nearest pano pixel (std::round = half away from zero; pm >= 0 here so
+    # floor(pm + 0.5) matches; reference model.cpp:209-211).
+    px = jnp.clip(jnp.floor(sx + 0.5).astype(jnp.int32), 0, cfg.pano_width - 1)
+    py = jnp.clip(jnp.floor(sy + 0.5).astype(jnp.int32), 0, cfg.pano_height - 1)
     pm_pix = py * cfg.pano_width + px
 
     # One map gather for everything indexed by pm_pix: (Gx, Gy) and, in
@@ -301,6 +323,28 @@ def _pair_residual(pmx, pmy, ppx, ppy, has_prev, pol_signed, gmaps, cfg):
     c_meas = pol_signed * cfg.c_th
     e = jnp.where(inlier, c_meas - c_pred, 0.0)
     return dx, dy, inlier, pm_pix, g_at, e
+
+
+def _pose_jac_coeffs(g_at, dx, dy, cfg):
+    """Pose-Jacobian row coefficients shared by every producer:
+    ``Jc = tx * dpm_c[0] + ty * dpm_c[1]``, ``Jp = hx * dpm_p[0] + hy *
+    dpm_p[1]``. "curr" mode is the reference math — temp = Gpm + dp^T G2pm
+    on the curr side (model.cpp:238), Jp = -Gpm . dpm_prev (:449, 459).
+    "mid" mode differentiates G(midpoint) . dp symmetrically (see
+    ModelConfig.sample_mode)."""
+    gx, gy = g_at[0], g_at[1]
+    if cfg.sample_mode == "mid":
+        sx = dx * g_at[2] + dy * g_at[3]
+        sy = dx * g_at[3] + dy * g_at[4]
+        return gx + 0.5 * sx, gy + 0.5 * sy, 0.5 * sx - gx, 0.5 * sy - gy
+    # association kept exactly as the pre-helper inline form ((gx + a) + b)
+    # so "curr" stays bit-identical across program versions
+    return (
+        gx + dx * g_at[2] + dy * g_at[3],
+        gy + dx * g_at[3] + dy * g_at[4],
+        -gx,
+        -gy,
+    )
 
 
 def _stacked_gmaps(Gx, Gy, need_deriv: bool):
@@ -351,15 +395,13 @@ def linearize_from_warp(
             i_p=i_p,
         )
 
-    gx, gy = g_at[0], g_at[1]
-    gxx, gxy, gyy = g_at[2], g_at[3], g_at[4]
-    # temp = Gpm + dp^T G2pm  (1x2; reference model.cpp:238)
-    tx = gx + dx * gxx + dy * gxy
-    ty = gy + dx * gxy + dy * gyy
+    # temp = Gpm + dp^T G2pm (1x2; reference model.cpp:238); Jp coefficients
+    # -Gpm (:459) — or the symmetric midpoint halves (ModelConfig.sample_mode)
+    tx, ty, hx, hy = _pose_jac_coeffs(g_at, dx, dy, cfg)
 
-    # dpm_dcp: (2, D, N). Jc = temp . dpm_dcp(curr); Jp = -Gpm . dpm_dcp(prev)
+    # dpm_dcp: (2, D, N). Jc = temp . dpm_dcp(curr); Jp = (hx, hy) . dpm(prev)
     Jc = tx[None, :] * dpm_dcp[0] + ty[None, :] * dpm_dcp[1]  # (D, N)
-    Jp = -(gx[None, :] * dpm_prev[0] + gy[None, :] * dpm_prev[1])
+    Jp = hx[None, :] * dpm_prev[0] + hy[None, :] * dpm_prev[1]
 
     return Linearization(
         e=e,
@@ -534,12 +576,11 @@ def form_normal_eq_light(
     ).reshape(2, d, -1)
     gmaps = _stacked_gmaps(Gx, Gy, True)
     g_at = jnp.take(gmaps, lin.pm_pix, axis=1)  # (5, N) one fused gather
-    gx, gy = g_at[0], g_at[1]
-    # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
-    tx = gx + lin.dx * g_at[2] + lin.dy * g_at[3]
-    ty = gy + lin.dx * g_at[3] + lin.dy * g_at[4]
+    # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459),
+    # or the symmetric midpoint halves (ModelConfig.sample_mode)
+    tx, ty, hx, hy = _pose_jac_coeffs(g_at, lin.dx, lin.dy, cfg)
     Jc = tx[None, :] * dpm[0] + ty[None, :] * dpm[1]
-    Jp = -(gx[None, :] * dpm_prev[0] + gy[None, :] * dpm_prev[1])
+    Jp = hx[None, :] * dpm_prev[0] + hy[None, :] * dpm_prev[1]
     full = dataclasses.replace(lin, Jc=Jc, Jp=Jp)
     return form_normal_eq(full, Gx, Gy, cfg, num_knots, reg_scale)
 
@@ -884,12 +925,11 @@ def _make_stream_chunk_fn(
         )
         if not need_deriv:
             return e_c, inl_c, pmp_c, ic_c, ip_c, dx_c, dy_c
-        gx_c, gy_c = g_at[0], g_at[1]
-        # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
-        tx = gx_c + dx_c * g_at[2] + dy_c * g_at[3]
-        ty = gy_c + dx_c * g_at[3] + dy_c * g_at[4]
+        # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev
+        # (:459), or the symmetric midpoint halves (ModelConfig.sample_mode)
+        tx, ty, hx, hy = _pose_jac_coeffs(g_at, dx_c, dy_c, cfg)
         Jc_c = tx[None, :] * dpm_c[0] + ty[None, :] * dpm_c[1]
-        Jp_c = -(gx_c[None, :] * dpm_p[0] + gy_c[None, :] * dpm_p[1])
+        Jp_c = hx[None, :] * dpm_p[0] + hy[None, :] * dpm_p[1]
         return e_c, inl_c, pmp_c, ic_c, ip_c, Jc_c, Jp_c, dx_c, dy_c
 
     return n, n_chunks, pieces
@@ -979,12 +1019,11 @@ def _make_stream_chunk_fn_light(
         e_c, inl_c, pmp_c = sl(e_pd), sl(inl_pd), sl(pmp_pd)
         dx_c, dy_c = sl(dx_pd), sl(dy_pd)
         g_at = jnp.take(gmaps, pmp_c, axis=1)  # one fused (5, sc) gather
-        gx_c, gy_c = g_at[0], g_at[1]
-        # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev (:459)
-        tx = gx_c + dx_c * g_at[2] + dy_c * g_at[3]
-        ty = gy_c + dx_c * g_at[3] + dy_c * g_at[4]
+        # temp = Gpm + dp^T G2pm (model.cpp:238); Jp = -Gpm . dpm_prev
+        # (:459), or the symmetric midpoint halves (ModelConfig.sample_mode)
+        tx, ty, hx, hy = _pose_jac_coeffs(g_at, dx_c, dy_c, cfg)
         Jc_c = tx[None, :] * dpm_c[0] + ty[None, :] * dpm_c[1]
-        Jp_c = -(gx_c[None, :] * dpm_p[0] + gy_c[None, :] * dpm_p[1])
+        Jp_c = hx[None, :] * dpm_p[0] + hy[None, :] * dpm_p[1]
         return e_c, inl_c, pmp_c, sl(ic_pd), sl(ip_pd), Jc_c, Jp_c, dx_c, dy_c
 
     return n, n_chunks, pieces

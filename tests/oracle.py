@@ -95,16 +95,20 @@ def evaluate_and_form(
     for k in range(n):
         event_map[(x[k], y[k])].append(k)
 
+    # map sampling point: curr event (reference) or the pair midpoint
+    # (cfg.sample_mode="mid" — see emba_tpu.model.ModelConfig.sample_mode)
+    midpoint = getattr(cfg, "sample_mode", "curr") == "mid"
     num_ev_map = np.zeros((H, W), dtype=int)
-    meas = []  # (k_curr, k_prev, e, dp, Gpm, temp, pm_pix)
+    meas = []  # (k_curr, k_prev, e, dp, tempP [prev-side coeff], temp, pm_pix)
     for pix, lst in sorted(event_map.items()):
         for j in range(1, len(lst)):
             kc, kp = lst[j], lst[j - 1]
             dp = pm_all[kc] - pm_all[kp]
             if np.linalg.norm(dp) > cfg.outlier_dp_norm:
                 continue
-            pmx = int(np.round(pm_all[kc][0]))
-            pmy = int(np.round(pm_all[kc][1]))
+            sp = 0.5 * (pm_all[kc] + pm_all[kp]) if midpoint else pm_all[kc]
+            pmx = int(np.round(sp[0]))
+            pmy = int(np.round(sp[1]))
             pmx = min(max(pmx, 0), W - 1)
             pmy = min(max(pmy, 0), H - 1)
             Gpm = np.array([Gx[pmy, pmx], Gy[pmy, pmx]])
@@ -115,8 +119,13 @@ def evaluate_and_form(
             G2 = np.array(
                 [[gxx[pmy, pmx], gxy[pmy, pmx]], [gxy[pmy, pmx], gyy[pmy, pmx]]]
             )
-            temp = Gpm + dp @ G2
-            meas.append((kc, kp, e, dp, Gpm, temp, pmy * W + pmx))
+            if midpoint:
+                temp = Gpm + 0.5 * (dp @ G2)  # curr-side coefficient
+                tempP = 0.5 * (dp @ G2) - Gpm  # prev-side coefficient
+            else:
+                temp = Gpm + dp @ G2
+                tempP = -Gpm
+            meas.append((kc, kp, e, dp, tempP, temp, pmy * W + pmx))
 
     cost_data = 0.5 * sum(m[2] ** 2 for m in meas)
 
@@ -134,7 +143,7 @@ def evaluate_and_form(
     A22 = [np.zeros((2, 2)) for _ in range(n_act)]
     b2 = np.zeros(2 * n_act)
 
-    for kc, kp, e, dp, Gpm, temp, pmpix in meas:
+    for kc, kp, e, dp, tempP, temp, pmpix in meas:
         if not active[pmpix]:
             continue
         ai = active_ids[pmpix]
@@ -151,7 +160,7 @@ def evaluate_and_form(
         b2[2 * ai : 2 * ai + 2] += dMdG * ew
 
         Jc = temp @ J_all[kc]  # (D,)
-        Jp = -Gpm @ J_all[kp]
+        Jp = tempP @ J_all[kp]
         sc, sp = 3 * cp_all[kc], 3 * cp_all[kp]
         A11[sc : sc + D, sc : sc + D] += yi * np.outer(Jc, Jc)
         A11[sp : sp + D, sp : sp + D] += yi * np.outer(Jp, Jp)

@@ -161,6 +161,89 @@ def test_normal_eq_matches_oracle(scene, use_irls, cost_type):
     assert np.abs(A12[~act]).max() == 0.0
 
 
+def test_midpoint_sampling_matches_oracle(scene):
+    """``sample_mode="mid"`` (midpoint-rule LEGM quadrature — a framework
+    extension; ModelConfig.sample_mode): the full vectorized model vs the
+    loop oracle in the same mode, plus streamed-forming equality."""
+    import dataclasses as dc
+
+    cfg = make_cfg(scene, sample_mode="mid")
+    traj, win, dev, lut = build_dev(scene, cfg, perturb=0.01)
+    knots = jnp.asarray(traj.knots)
+    Gx = jnp.asarray(scene.gx * 0.9)
+    Gy = jnp.asarray(scene.gy * 0.9)
+    nk = traj.num_knots
+
+    lin = M.linearize(knots, Gx, Gy, dev, cfg, need_deriv=True)
+    neq = M.form_normal_eq(lin, Gx, Gy, cfg, nk)
+
+    res = oracle.evaluate_and_form(
+        traj, np.asarray(Gx), np.asarray(Gy),
+        win.t, win.x, win.y, win.pol, lut, scene.cam.width, cfg, batch=100,
+    )
+    assert int(jnp.sum(lin.inlier)) == len(res["meas"])
+    np.testing.assert_array_equal(
+        np.asarray(lin.num_ev_map).reshape(cfg.pano_height, cfg.pano_width),
+        res["num_ev_map"],
+    )
+    np.testing.assert_allclose(
+        float(M.data_cost(lin.e, cfg)), res["cost_data"], rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(neq.A11), res["A11"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(neq.b1), res["b1"], atol=1e-10)
+    # map-side blocks key on the MIDPOINT pixels
+    hw = cfg.num_pix
+    a22 = np.stack(
+        [np.asarray(neq.a22_xx), np.asarray(neq.a22_xy),
+         np.asarray(neq.a22_yy)], axis=-1,
+    )[:hw]
+    b2 = np.stack([np.asarray(neq.b2_x), np.asarray(neq.b2_y)], axis=-1)[:hw]
+    for pmpix, ai in res["active_ids"].items():
+        blk = res["A22"][ai]
+        np.testing.assert_allclose(
+            a22[pmpix], [blk[0, 0], blk[0, 1], blk[1, 1]], atol=1e-10
+        )
+        np.testing.assert_allclose(
+            b2[pmpix], res["b2"][2 * ai : 2 * ai + 2], atol=1e-10
+        )
+
+    # streamed forming matches classic under the midpoint mode too
+    cfg_s = dc.replace(cfg, stream_chunk=977)
+    cost_s, nem = M.cost_and_activity_streamed(knots, Gx, Gy, dev, cfg_s)
+    np.testing.assert_allclose(
+        float(cost_s), float(M.data_cost(lin.e, cfg)), rtol=1e-12
+    )
+    neq1 = M.form_normal_eq_streamed(nem, knots, Gx, Gy, dev, cfg_s, nk)
+    np.testing.assert_allclose(
+        np.asarray(neq1.A11), np.asarray(neq.A11), atol=1e-9, rtol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(neq1.A12), np.asarray(neq.A12),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(neq1.b1), np.asarray(neq.b1),
+                               atol=1e-10)
+
+
+def test_midpoint_reduces_model_error(scene):
+    """At the GT trajectory and GT map the residual is pure LEGM quadrature
+    error; the midpoint rule (O(|dp|^3) Taylor error vs the rectangle
+    rule's O(|dp|^2)) must shrink it."""
+    cfg_c = make_cfg(scene)
+    cfg_m = make_cfg(scene, sample_mode="mid")
+    traj, win, dev, lut = build_dev(scene, cfg_c)
+    knots = jnp.asarray(traj.knots)
+    Gx = jnp.asarray(scene.gx)
+    Gy = jnp.asarray(scene.gy)
+    lin_c = M.linearize(knots, Gx, Gy, dev, cfg_c, need_deriv=False)
+    lin_m = M.linearize(knots, Gx, Gy, dev, cfg_m, need_deriv=False)
+
+    def rms(lin):
+        return float(
+            jnp.sqrt(jnp.sum(lin.e * lin.e) / jnp.sum(lin.inlier))
+        )
+
+    assert rms(lin_m) < rms(lin_c)
+
+
 @pytest.mark.parametrize("fix_first", [False, True])
 def test_schur_solve_matches_oracle(scene, fix_first):
     cfg = make_cfg(scene)
