@@ -1266,3 +1266,149 @@ def make_solve_window_sharded(
         return out if return_trace else out[:6]
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Distributed map-only solve (the production super-resolution path).
+# ---------------------------------------------------------------------------
+
+
+def make_map_only_sharded(mesh: Mesh, cfg: M.ModelConfig,
+                          num_sensor_pix: int):
+    """Distributed map-only solve — the production super-resolution path
+    (:func:`model.map_only_step` / :func:`model.solve_map_only`; reference
+    map math ``model.cpp:863-903`` — its 4K outputs are maps rendered from
+    1K-refined trajectories) as one SPMD program over the mesh:
+
+      * events sharded over the combined ("ev", "tile") axis with EXACT
+        cross-shard pairing (the same log-depth halo fold as the sharded LM
+        window),
+      * global activity map psum'd over all shards,
+      * the five per-pixel accumulators (a22xx/a22xy/a22yy/b2x/b2y)
+        scatter-added shard-locally then REDUCE-SCATTERED into per-device
+        row chunks (1/n-size results, half the wire bytes of psum+slice),
+      * the closed-form per-pixel 2x2 solve runs chunk-locally (the map
+        block is per-pixel independent — embarrassingly shardable); the
+        solved map is all_gathered (replicated, updateMap semantics:
+        inactive pixels reset to zero).
+
+    With the pose fixed the residual is affine in G, so one pass is the
+    exact regularized quadratic minimizer; with ``cfg.use_irls`` the
+    weights are evaluated at the INPUT map (one IRLS step per call, as
+    ``map_only_step`` — iterate via :func:`solve_map_only_sharded`).
+    Returns jitted ``fn(knots, Gx, Gy, dev_win) -> (Gx', Gy', cost_data,
+    num_ev_map)`` matching ``map_only_step``'s contract; ``dev_win`` must
+    be placed by :func:`shard_window_all`.
+    """
+    n_ev, n_tile = mesh.shape["ev"], mesh.shape["tile"]
+    n_shards = n_ev * n_tile
+    axes = ("ev", "tile")
+    hw = cfg.num_pix
+    rows = -(-hw // n_shards)
+    hw_pad = rows * n_shards
+
+    def per_shard(knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
+                  batch_ids, batch_s, batch_u, spix):
+        dt = Gx.dtype
+        my = jax.lax.axis_index("ev") * n_tile + jax.lax.axis_index("tile")
+        lin, _ = _linearize_sharded(
+            knots, Gx, Gy, bearings, pol_signed, prev_idx, has_prev,
+            batch_ids, batch_s, batch_u, spix, cfg, num_sensor_pix,
+            axes, n_shards, my, False,
+        )
+        # num_ev_map was psum'd inside _linearize_sharded: global activity
+        active = lin.num_ev_map >= cfg.thres_valid_pixel
+        cost = jax.lax.psum(M.data_cost(lin.e, cfg), axes)
+
+        # per-pixel 2x2 blocks + rhs, active-masked (model.cpp:421-447);
+        # one (5, HW_pad) stack -> ONE reduce-scatter for all five planes
+        w = lin.inlier & active[lin.pm_pix]
+        wA = jnp.where(w, M.irls_weights(lin.e, cfg), 0.0).astype(dt)
+        we = wA * lin.e
+        z = jnp.zeros((hw_pad,), dt)
+        acc = jnp.stack([
+            z.at[lin.pm_pix].add(wA * lin.dx * lin.dx, mode="drop"),
+            z.at[lin.pm_pix].add(wA * lin.dx * lin.dy, mode="drop"),
+            z.at[lin.pm_pix].add(wA * lin.dy * lin.dy, mode="drop"),
+            z.at[lin.pm_pix].add(we * lin.dx, mode="drop"),
+            z.at[lin.pm_pix].add(we * lin.dy, mode="drop"),
+        ])
+        a22xx, a22xy, a22yy, b2x, b2y = jax.lax.psum_scatter(
+            acc, axes, scatter_dimension=1, tiled=True
+        )  # each (rows,)
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, my * rows, rows)
+
+        pad = hw_pad - hw
+        act_c = sl(jnp.pad(active, (0, pad)))
+        gx_f = sl(jnp.pad(Gx.reshape(-1).astype(dt), (0, pad)))
+        gy_f = sl(jnp.pad(Gy.reshape(-1).astype(dt), (0, pad)))
+
+        # L2 regularizer on active pixels + closed-form 2x2 (identical
+        # arithmetic to model.map_only_step's finish)
+        af = act_c.astype(dt)
+        alpha = jnp.asarray(cfg.alpha, dt)
+        a = a22xx + alpha * af
+        b = a22xy
+        d = a22yy + alpha * af
+        rx = b2x - alpha * gx_f * af
+        ry = b2y - alpha * gy_f * af
+        det = a * d - b * b
+        det_safe = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+        ok = (act_c & (jnp.abs(det) >= 1e-30)).astype(dt) / det_safe
+        gx_c = jnp.where(act_c, gx_f + (d * rx - b * ry) * ok, 0.0)
+        gy_c = jnp.where(act_c, gy_f + (a * ry - b * rx) * ok, 0.0)
+        gx_new = jax.lax.all_gather(gx_c, axes, axis=0, tiled=True)
+        gy_new = jax.lax.all_gather(gy_c, axes, axis=0, tiled=True)
+        return (
+            gx_new[:hw].reshape(Gx.shape),
+            gy_new[:hw].reshape(Gy.shape),
+            cost,
+            lin.num_ev_map,
+        )
+
+    ev_spec = P(("ev", "tile"))
+    shardfn = _shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(None, ("ev", "tile")), ev_spec, ev_spec, ev_spec, ev_spec,
+            P(), P(), ev_spec,
+        ),
+        out_specs=(P(), P(), P(), P()),
+    )
+
+    @jax.jit
+    def fn(knots, Gx, Gy, dev_win: M.DeviceWindow):
+        return shardfn(
+            knots, Gx, Gy, dev_win.bearings, dev_win.pol_signed,
+            dev_win.prev_idx, dev_win.has_prev, dev_win.batch_ids,
+            dev_win.batch_s, dev_win.batch_u, dev_win.sensor_pix,
+        )
+
+    return fn
+
+
+def solve_map_only_sharded(
+    knots, Gx, Gy, dev_win: M.DeviceWindow, cfg: M.ModelConfig, mesh: Mesh,
+    num_sensor_pix: int, num_iters: int = 1,
+):
+    """Multi-chip :func:`model.solve_map_only`: one exact closed-form pass
+    for the quadratic cost; ``num_iters > 1`` refreshes IRLS weights between
+    passes. ``dev_win`` must already be placed by :func:`shard_window_all`.
+    Returns ``(Gx, Gy, costs)`` with ``num_iters + 1`` cost evaluations
+    (the last at the final map), matching the single-device contract."""
+    import dataclasses as _dc
+
+    if cfg.compact_cap is not None:
+        cfg = _dc.replace(cfg, compact_cap=None)  # rows ARE pixels here
+    fn = make_map_only_sharded(mesh, cfg, num_sensor_pix)
+    costs = []
+    for _ in range(num_iters):
+        Gx, Gy, cost, _nem = fn(knots, Gx, Gy, dev_win)
+        costs.append(float(cost))
+    _gx, _gy, cost, _nem = fn(knots, Gx, Gy, dev_win)
+    costs.append(float(cost))
+    return Gx, Gy, costs

@@ -300,7 +300,14 @@ class EmbaPipeline:
         resolution. The pairing-displacement outlier cut scales with the
         resolution ratio (it is measured in pano pixels). Returns
         ``(gx, gy, costs)``; ``costs`` are the data-cost evaluations of
-        :func:`model.solve_map_only` (last = at the solved map)."""
+        :func:`model.solve_map_only` (last = at the solved map).
+
+        Multi-chip: with more than one accelerator (or ``cfg.num_devices``
+        set > 1) the solve runs as the SPMD sharded program
+        (:func:`dist.solve_map_only_sharded`: events sharded with exact
+        halo pairing, per-pixel blocks reduce-scattered to row chunks,
+        chunk-local closed-form solve — the map block is per-pixel
+        independent, so it shards perfectly)."""
         W = width or 2 * height
         cfg0 = self.cfg.model_config()
         scale = height / cfg0.pano_height
@@ -324,9 +331,27 @@ class EmbaPipeline:
         )
         z = jnp.zeros((height, W), self.dtype)
         k = jnp.asarray(self.traj.knots, self.dtype)
-        gx, gy, costs = model.solve_map_only(
-            k, z, z, dev, mcfg, num_iters=3 if mcfg.use_irls else 1,
-        )
+        n_iter = 3 if mcfg.use_irls else 1
+        if self.cfg.num_devices is not None:
+            n_dev = self.cfg.num_devices
+        else:
+            n_dev = (
+                jax.device_count() if jax.default_backend() == "tpu" else 1
+            )
+        if n_dev > 1:
+            from . import dist
+
+            mesh = dist.make_mesh(n_dev, 1)
+            gx, gy, costs = dist.solve_map_only_sharded(
+                dist.replicate(mesh, k), dist.replicate(mesh, z),
+                dist.replicate(mesh, z),
+                dist.shard_window_all(dev, mesh), mcfg, mesh,
+                self.camera.width * self.camera.height, num_iters=n_iter,
+            )
+        else:
+            gx, gy, costs = model.solve_map_only(
+                k, z, z, dev, mcfg, num_iters=n_iter,
+            )
         return np.asarray(gx), np.asarray(gy), costs
 
     def _save_evo(self, win_id: int, it: int, gx, gy):

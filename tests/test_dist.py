@@ -722,3 +722,43 @@ def test_solve_window_sharded_host_streamed_full(problem):
     assert len(st8.iterations) == len(st1.iterations)
     np.testing.assert_allclose(np.asarray(k8), np.asarray(k1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "mesh_shape,variant", [((8, 1), "quad"), ((2, 4), "cauchy"),
+                           ((8, 1), "mid")]
+)
+def test_map_only_sharded_matches_single(problem, mesh_shape, variant):
+    """The distributed map-only solve (production super-res path) must
+    reproduce model.map_only_step on the 8-device mesh: same activity map,
+    cost, and solved maps — including IRLS weighting and midpoint
+    sampling."""
+    import dataclasses as dc
+
+    scene, cfg, dev = problem
+    if variant == "cauchy":
+        cfg = dc.replace(cfg, use_irls=True, cost_type="cauchy", eta=0.5)
+    elif variant == "mid":
+        cfg = dc.replace(cfg, sample_mode="mid")
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx * 0.7)  # imperfect input map
+    Gy = jnp.asarray(scene.gy * 0.7)
+
+    cfg_s = dc.replace(cfg, stream_chunk=1024)
+    gx1, gy1, cost1, nem1 = model.map_only_step(knots, Gx, Gy, dev, cfg_s)
+
+    mesh = dist.make_mesh(mesh_shape[0], mesh_shape[1], jax.devices()[:8])
+    fn = dist.make_map_only_sharded(mesh, cfg, NUM_SENSOR_PIX)
+    dev_s = dist.shard_window_all(dev, mesh)
+    gx8, gy8, cost8, nem8 = fn(
+        dist.replicate(mesh, knots), dist.replicate(mesh, Gx),
+        dist.replicate(mesh, Gy), dev_s,
+    )
+
+    np.testing.assert_array_equal(np.asarray(nem8), np.asarray(nem1))
+    np.testing.assert_allclose(float(cost8), float(cost1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gy8), np.asarray(gy1), atol=1e-10)
+    # updateMap semantics: inactive pixels are zero
+    act = (np.asarray(nem8) >= cfg.thres_valid_pixel).reshape(gx8.shape)
+    assert np.abs(np.asarray(gx8)[~act]).max() == 0.0
