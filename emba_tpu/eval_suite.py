@@ -74,6 +74,9 @@ def run_sequence(
     alpha: float = 0.5,
     sample_mode: str = "curr",
     coarse_to_fine: bool = False,
+    irls: str | None = None,
+    eta: float = 1.0,
+    contaminate: float = 0.0,
 ) -> dict:
     """``stream``: force streamed forming on/off (None = auto by event count
     vs ``stream_over``); ``stream_light`` picks the resident-light tier.
@@ -88,7 +91,11 @@ def run_sequence(
     ModelConfig.sample_mode). ``coarse_to_fine``: pre-solve the pose at a
     HALF-resolution pano (|dp| in pixels halves — exactly the LEGM
     linearization's validity axis) and refine at full resolution from the
-    coarse-refined knots; wall/iteration counts cover both stages."""
+    coarse-refined knots; wall/iteration counts cover both stages.
+    ``irls``: "huber"/"cauchy" robust cost with scale ``eta`` (reference
+    model.cpp:493-687). ``contaminate``: inject this fraction of noise
+    events — half hot-pixel bursts (a few stuck pixels firing constantly),
+    half uniform salt events — the data regime IRLS exists for."""
     if dtype is None:
         dtype = jnp.float32
     rng = np.random.default_rng(seed)
@@ -120,6 +127,9 @@ def run_sequence(
         spline_order=spline_order,
         light_trial=light_trial,
         sample_mode=sample_mode,
+        use_irls=irls is not None,
+        cost_type=irls or "quadratic",
+        eta=eta,
         use_pallas=(jax.default_backend() == "tpu" and dtype == jnp.float32),
     )
     base_traj = scene.traj
@@ -142,6 +152,37 @@ def run_sequence(
 
         rate = int(np.ceil(len(scene.t) / max_events))
         ev = systematic_subsample(*ev, rate)
+    if contaminate:
+        # Injected gross errors that SURVIVE the |dp| outlier gate (purely
+        # positional noise is already rejected by it — measured): half
+        # polarity FLIPS (residual jumps by 2 C_th at a valid pair — the
+        # classic gross error), half same-polarity BURST duplicates (a
+        # positive copy of a random event ~0.01-1 ms later — the hot-pixel
+        # signature; the burst pairs at near-zero |dp| with a wrong
+        # increment and corrupts its pixel's pairing chain). Trajectory/GT
+        # untouched — the robust-cost capability regime
+        # (model.cpp:493-687). NOTE the measured robustness floor: the
+        # joint solve's per-pixel map DOF absorb event-level corruption, so
+        # quadratic BA is unharmed below ~20% contamination; robust costs
+        # separate only once the gross errors dominate the LEGM model-error
+        # residual floor (docs/suite_table_ecrot_r5.md).
+        crng = np.random.default_rng(seed + 1000)
+        n_noise = int(contaminate * len(ev[0]))
+        pol_c = np.array(ev[3], copy=True)
+        idx_f = crng.choice(len(pol_c), size=n_noise // 2, replace=False)
+        pol_c[idx_f] = 1 - pol_c[idx_f]
+        n_b = n_noise - len(idx_f)
+        idx_b = crng.integers(0, len(pol_c), size=n_b)
+        bt = ev[0][idx_b] + crng.uniform(1e-5, 1e-3, size=n_b)
+        order = np.argsort(np.concatenate([ev[0], bt]), kind="stable")
+        ev = (
+            np.concatenate([ev[0], bt])[order],
+            np.concatenate([ev[1], ev[1][idx_b]])[order],
+            np.concatenate([ev[2], ev[2][idx_b]])[order],
+            np.concatenate(
+                [pol_c, np.ones(n_b, pol_c.dtype)]
+            )[order],
+        )
     if stream if stream is not None else len(ev[0]) > stream_over:
         cfg = dataclasses.replace(
             cfg, stream_chunk=1 << 20, stream_light=stream_light

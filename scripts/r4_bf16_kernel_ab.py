@@ -3,9 +3,13 @@
 Default mode runs the accuracy-preserving multi-pass hi/lo bf16 expansion
 (2 passes on the value operands, 3 on the A11 Gram); BF16=1 runs single
 cheap bf16 passes (~3-decimal-digit payloads). This measures the kernel
-wall time of both modes on the SAME linearization and the max relative
-deviation of the resulting blocks, so the knob's perf/accuracy tradeoff is
-a committed number instead of a guess.
+wall time of both modes on the SAME linearization and the relative
+deviation of L1/strided block CHECKSUMS (sign cancellation inside a
+checksum can hide larger per-element deviations — the kernel's own
+estimate for single-pass bf16 is ~0.3% elementwise noise; treat the
+checksum figure as an aggregate indicator, not an elementwise bound), so
+the knob's perf/accuracy tradeoff is a committed number instead of a
+guess.
 
 Usage: [EMBA_MC=.. EMBA_TILE_PX=..] python scripts/r4_bf16_kernel_ab.py [n_events]
 Prints one JSON line.

@@ -96,4 +96,20 @@ for name in WEAK:
     run_row(f"{name}:mid_c2f", seed, motion, smooth, amp, duration, **KW,
             sample_mode="mid", coarse_to_fine=True)
 
+# 5) robust-cost capability rows (VERDICT r4 item 4): 60% contamination
+#    (polarity flips + same-polarity hot-pixel bursts — the gross-error mix
+#    that survives the |dp| gate and the map-DOF absorption floor, see
+#    eval_suite contamination note). quad degrades; huber/cauchy recover.
+seed, motion, smooth, amp, duration = ES.ECROT_LIKE["ecrot_bicycle_like"]
+for tag, kw in (
+    ("contam60_quad", {}),
+    # eta tracks the gross-error scale 2*C_th = 0.4 (c_th=0.2 here):
+    # huber eta ~= C_th keeps the model-error inliers quadratic; cauchy
+    # eta=25 puts weight ~0.2 on the flip residuals (1/(1+25*0.4^2))
+    ("contam60_huber", dict(irls="huber", eta=0.2)),
+    ("contam60_cauchy", dict(irls="cauchy", eta=25.0)),
+):
+    run_row(f"ecrot_bicycle_like:{tag}", seed, motion, smooth, amp,
+            duration, **KW, contaminate=0.6, **kw)
+
 print("wrote", OUT)

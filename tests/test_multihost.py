@@ -192,3 +192,88 @@ def test_two_process_sharded_window(tmp_path):
     np.testing.assert_allclose(
         results[0]["gx_sum"], float(np.abs(np.asarray(gx1)).sum()), rtol=1e-8
     )
+
+
+def test_elastic_resume_across_mesh_sizes():
+    """ELASTICITY (SURVEY.md §5): a mid-window LM checkpoint taken on an
+    8-shard mesh resumes on a 4-shard mesh AND on a single device, landing
+    on the uninterrupted run's result. Checkpoints are mesh-independent
+    (host numpy state; the linearization and normal equations are re-derived
+    on the new topology), so a pod that loses devices restarts on whatever
+    mesh remains. Same-topology resume is bit-exact
+    (tests/test_pipeline.py::test_mid_window_checkpoint_resume); across
+    topologies the reduction ORDER changes (psum tree vs single-device
+    chunk order), so equality here is to f64 reduction tolerance, not bits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from emba_tpu import dist, model, pairing, solver, synth
+
+    rng = np.random.default_rng(21)
+    sensor = synth.default_sensor(32, 32, f=30.0)
+    scene = synth.generate(
+        rng, sensor, pano_width=128, pano_height=64, c_th=0.15, t_end=0.5,
+        dt_knots=0.05, num_steps=150, motion_amp=0.2,
+    )
+    cfg = model.ModelConfig(
+        c_th=0.15, pano_width=128, pano_height=64, thres_valid_pixel=2,
+        alpha=1.0,
+    )
+    win = pairing.build_window(
+        scene.t, scene.x, scene.y, scene.pol, sensor.width,
+        scene.traj.locate, 100,
+    )
+    dev = model.DeviceWindow.from_window(
+        win, sensor.bearing_lut(), sensor.width, jnp.float64
+    )
+    # imperfect init so LM does real work
+    knots = jnp.asarray(scene.traj.knots)
+    Gx = jnp.asarray(scene.gx * 0.7)
+    Gy = jnp.asarray(scene.gy * 0.7)
+    nsp = 32 * 32
+    lm_cfg = solver.LMConfig(max_num_iter=8)
+
+    # uninterrupted 8-shard reference
+    mesh8 = dist.make_mesh(8, 1, jax.devices()[:8])
+    k_ref, gx_ref, _gy, st_ref = dist.solve_window_sharded_host(
+        *dist.replicate(mesh8, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh8), mesh8, cfg, nsp, lm_cfg,
+        fix_first=True,
+    )
+
+    # interrupted 8-shard run: checkpoint every iteration, stop at 4
+    saved = []
+    dist.solve_window_sharded_host(
+        *dist.replicate(mesh8, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh8), mesh8, cfg, nsp,
+        solver.LMConfig(max_num_iter=4), fix_first=True,
+        checkpoint_cb=saved.append, checkpoint_every=1,
+    )
+    state = saved[-1]
+    assert state["it"] >= 3
+
+    # resume on a 4-shard mesh
+    mesh4 = dist.make_mesh(4, 1, jax.devices()[:4])
+    k4, _gx4, _gy4, st4 = dist.solve_window_sharded_host(
+        *dist.replicate(mesh4, knots, Gx, Gy),
+        dist.shard_window_all(dev, mesh4), mesh4, cfg, nsp, lm_cfg,
+        fix_first=True, resume_state=state,
+    )
+    # resume on a single device (the host-loop solver)
+    k1, _gx1, _gy1, st1 = solver.solve_window(
+        knots, Gx, Gy, dev, cfg, lm_cfg, fix_first=True,
+        resume_state=state,
+    )
+
+    cost_ref = st_ref.iterations[-1]["cost_min"]
+    for k_el, st_el in ((k4, st4), (k1, st1)):
+        assert (
+            len(st_el.iterations) + state["it"] == len(st_ref.iterations)
+        )
+        np.testing.assert_allclose(
+            st_el.iterations[-1]["cost_min"], cost_ref, rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(k_el), np.asarray(k_ref), atol=1e-9
+        )
