@@ -83,6 +83,8 @@ def _cmd_run(args):
         cfg.pano_width = 2 * args.pano_height
     if args.use_cg:
         cfg.use_cg = True
+    if getattr(args, "coarse_to_fine", False):
+        cfg.coarse_to_fine = True
     if args.irls:
         cfg.use_irls = True
         cfg.cost_type = args.irls
@@ -303,6 +305,12 @@ def main(argv=None):
         "--sample-mode", dest="sample_mode", choices=["curr", "mid"],
         help="LEGM map sampling point: curr (reference) or mid "
         "(midpoint-rule quadrature, halves large-|dp| model error)",
+    )
+    r.add_argument(
+        "--coarse-to-fine", action="store_true",
+        help="half-resolution pose pre-solve per window before the "
+        "full-resolution solve (pulls the pose through the large-|dp| "
+        "regime first)",
     )
     r.add_argument("--thres-valid-pixel", dest="thres_valid_pixel", type=int)
     r.add_argument("--use-cg", action="store_true")

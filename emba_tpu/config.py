@@ -37,6 +37,12 @@ class BAConfig:
     # quadrature — halves the linearization's systematic error on large
     # inter-event displacements at zero cost; see ModelConfig.sample_mode).
     sample_mode: str = "curr"
+    # Coarse-to-fine: pre-solve each window's pose at a HALF-resolution
+    # pano (|dp| in pixels halves — the LEGM linearization's validity
+    # axis), then run the normal full-resolution window from the
+    # coarse-refined knots. The coarse stage reuses the window's event
+    # data (the DeviceWindow is pano-independent); its map is discarded.
+    coarse_to_fine: bool = False
 
     # Solver options
     use_cg: bool = False

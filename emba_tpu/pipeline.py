@@ -354,6 +354,51 @@ class EmbaPipeline:
             )
         return np.asarray(gx), np.asarray(gy), costs
 
+    def _coarse_presolve(self, seg_knots, dev, mcfg, cfg, fix_first):
+        """Coarse-to-fine pose pre-solve (BAConfig.coarse_to_fine): solve
+        the window's pose at a HALF-resolution pano — |dp| in pixels
+        halves, exactly the LEGM linearization's systematic-error axis —
+        and return the refined knots for the full-resolution solve. The
+        DeviceWindow is pano-independent (bearings + pairing only), so the
+        coarse stage reuses it; the init map is the current map pooled 2x
+        (gradient per big pixel = 2x the block-average of the small-pixel
+        gradients); the coarse stage's map is discarded. Runs the fused
+        single-device window (the coarse problem is small)."""
+        if mcfg.pano_height % 2 or mcfg.pano_width % 2:
+            return seg_knots  # odd pano: skip (nothing to pool)
+
+        def pool2(g):
+            h, w = np.asarray(g).shape
+            return 2.0 * np.asarray(g).reshape(
+                h // 2, 2, w // 2, 2
+            ).mean(axis=(1, 3))
+
+        mc = dataclasses.replace(
+            mcfg,
+            pano_width=mcfg.pano_width // 2,
+            pano_height=mcfg.pano_height // 2,
+            outlier_dp_norm=max(0.5 * mcfg.outlier_dp_norm, 1.5),
+            compact_cap=None,
+        )
+        k, _gx, _gy, _cost, n_it, _conv = solver.solve_window_fused(
+            jnp.asarray(seg_knots, self.dtype),
+            jnp.asarray(pool2(self.gx), self.dtype),
+            jnp.asarray(pool2(self.gy), self.dtype),
+            dev,
+            mc,
+            jnp.asarray(cfg.damping_factor, self.dtype),
+            jnp.asarray(cfg.tol_fun, self.dtype),
+            fix_first=fix_first,
+            max_num_iter=cfg.max_num_iter,
+            num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
+        )
+        if self._iter_log is not None:
+            self._iter_log.write(
+                f"coarse presolve: {int(n_it)} iters at "
+                f"{mc.pano_width}x{mc.pano_height}\n"
+            )
+        return np.asarray(k, np.float64)
+
     def _save_evo(self, win_id: int, it: int, gx, gy):
         """Per-LM-iteration evolution dumps (reference ``saveEvoData``,
         solver.cpp:370-425): the evolving Gx/Gy/HSV images plus the Poisson
@@ -690,6 +735,16 @@ class EmbaPipeline:
             )
             if fused_fallback:
                 fused = False
+            if cfg.coarse_to_fine and resume_lm is None:
+                # coarse-to-fine pose pre-solve (skipped on mid-window
+                # resume: the resumed knots are already past the coarse
+                # regime)
+                seg = dataclasses.replace(
+                    seg,
+                    knots=self._coarse_presolve(
+                        seg.knots, dev, mcfg, cfg, first_window
+                    ),
+                )
             if fused and use_sharded:
                 from . import dist
 

@@ -861,3 +861,33 @@ def test_pipeline_super_res_map(dataset, tmp_path):
     act = (np.abs(pool) > 1e-6) & (np.abs(gx_ba) > 1e-6)
     c = np.corrcoef(pool[act], gx_ba[act])[0, 1]
     assert c > 0.5, c
+
+
+def test_pipeline_coarse_to_fine(dataset):
+    """BAConfig.coarse_to_fine: each window gets a half-resolution pose
+    pre-solve before the full-res solve; the run completes and recovers at
+    least as well as the direct solve."""
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"),
+                              str(dataset / "Gy.bin"))
+    kw = dict(
+        start_time=0.0, stop_time=0.6, c_th=0.1, alpha=0.5, max_num_iter=3,
+        dt_knots=0.05, dtype="float64",
+    )
+    args = (load_camera_yaml(str(dataset / "calib.yaml")), (t, x, y, pol),
+            times, rots)
+    res_d = EmbaPipeline(C.BAConfig(**kw), *args, init_gx=gx,
+                         init_gy=gy).run()
+    res_c = EmbaPipeline(C.BAConfig(**kw, coarse_to_fine=True), *args,
+                         init_gx=gx, init_gy=gy).run()
+    assert np.isfinite(res_c.trajectory.knots).all()
+    # the c2f run lands within 2x of the direct run's final cost (the
+    # coarse stage must not derail the full-res solve)
+    cd = res_d.window_stats[-1].iterations[-1]["cost_min"]
+    cc = res_c.window_stats[-1].iterations[-1]["cost_min"]
+    assert cc <= 2.0 * cd
