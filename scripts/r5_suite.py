@@ -96,6 +96,14 @@ for name in WEAK:
     run_row(f"{name}:mid_c2f", seed, motion, smooth, amp, duration, **KW,
             sample_mode="mid", coarse_to_fine=True)
 
+# 4b) city stays the hardest row: un-subsampled full stream + c2f (and the
+#     midpoint composition) — smallest |dp| (full density) plus the coarse
+#     basin guide
+for tag, kw in (("full_c2f", {}), ("full_mid_c2f", dict(sample_mode="mid"))):
+    seed, motion, smooth, amp, duration = ES.ECROT_LIKE["ecrot_city_like"]
+    run_row(f"ecrot_city_like:{tag}", seed, motion, smooth, amp, duration,
+            **KW, max_events=0, coarse_to_fine=True, **kw)
+
 # 5) robust-cost capability rows (VERDICT r4 item 4): 60% contamination
 #    (polarity flips + same-polarity hot-pixel bursts — the gross-error mix
 #    that survives the |dp| gate and the map-DOF absorption floor, see
@@ -111,5 +119,12 @@ for tag, kw in (
 ):
     run_row(f"ecrot_bicycle_like:{tag}", seed, motion, smooth, amp,
             duration, **KW, contaminate=0.6, **kw)
+
+# 6) MULTI-START rows: all four (sample_mode x c2f) variants per sequence,
+#    winner selected by refined photometric error under the reference
+#    evaluation model (GT-free) — the recommended accuracy configuration.
+for name, (seed, motion, smooth, amp, duration) in ES.ECROT_LIKE.items():
+    run_row(f"{name}:auto", seed, motion, smooth, amp, duration, **KW,
+            multi_start=True)
 
 print("wrote", OUT)
