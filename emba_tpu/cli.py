@@ -85,6 +85,8 @@ def _cmd_run(args):
         cfg.use_cg = True
     if getattr(args, "coarse_to_fine", False):
         cfg.coarse_to_fine = True
+    if getattr(args, "multi_start", False):
+        cfg.multi_start = True
     if args.irls:
         cfg.use_irls = True
         cfg.cost_type = args.irls
@@ -311,6 +313,12 @@ def main(argv=None):
         help="half-resolution pose pre-solve per window before the "
         "full-resolution solve (pulls the pose through the large-|dp| "
         "regime first)",
+    )
+    r.add_argument(
+        "--multi-start", action="store_true",
+        help="solve each window with all four (sample-mode x "
+        "coarse-to-fine) variants and keep the lowest-photometric-cost "
+        "one (GT-free selection; ~4x window cost)",
     )
     r.add_argument("--thres-valid-pixel", dest="thres_valid_pixel", type=int)
     r.add_argument("--use-cg", action="store_true")

@@ -43,6 +43,12 @@ class BAConfig:
     # coarse-refined knots. The coarse stage reuses the window's event
     # data (the DeviceWindow is pano-independent); its map is discarded.
     coarse_to_fine: bool = False
+    # Multi-start BA: solve each window with all four (sample_mode x
+    # coarse_to_fine) variants and keep the one with the lowest window
+    # data cost under the reference evaluation model — a GT-free selection
+    # (the LEGM landscape is multi-basin on high-texture problems; see
+    # docs/suite_table_ecrot_r5.md). ~4x window solve cost.
+    multi_start: bool = False
 
     # Solver options
     use_cg: bool = False

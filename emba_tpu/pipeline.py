@@ -735,119 +735,177 @@ class EmbaPipeline:
             )
             if fused_fallback:
                 fused = False
-            if cfg.coarse_to_fine and resume_lm is None:
-                # coarse-to-fine pose pre-solve (skipped on mid-window
-                # resume: the resumed knots are already past the coarse
-                # regime)
-                seg = dataclasses.replace(
-                    seg,
-                    knots=self._coarse_presolve(
-                        seg.knots, dev, mcfg, cfg, first_window
-                    ),
-                )
-            if fused and use_sharded:
-                from . import dist
+            def run_solve(seg_knots, vcfg, ck_cb_v, resume_v):
+                """One window solve on the selected execution path (fused /
+                host x single-device / sharded). Returns (knots, gx, gy,
+                stats)."""
+                if fused and use_sharded:
+                    from . import dist
 
-                # streamed forming composes with sharding (chunk-recomputed
-                # Jacobians shard-locally); mcfg.stream_chunk is honored
-                mesh = dist.make_mesh(n_dev, 1)
-                t0 = time.perf_counter()
-                # memoized builder: one compile per distinct
-                # (mesh, cfg, knot count, ...) signature across windows
-                solve = dist.solve_window_sharded_cached(
-                    mesh, mcfg, seg.num_knots,
-                    self.camera.width * self.camera.height,
-                    fix_first=first_window,
-                    max_num_iter=cfg.max_num_iter,
-                    num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
-                    return_trace=True,
-                    use_cg=cfg.use_cg,
-                )
-                knots, gx_j, gy_j, cost_min, n_it, conv, trace = solve(
-                    *dist.replicate(
-                        mesh,
-                        jnp.asarray(seg.knots, self.dtype),
-                        jnp.asarray(self.gx, self.dtype),
-                        jnp.asarray(self.gy, self.dtype),
-                    ),
-                    dist.shard_window_all(dev, mesh),
-                    jnp.asarray(cfg.damping_factor, self.dtype),
-                    jnp.asarray(cfg.tol_fun, self.dtype),
-                )
-                stats = self._stats_from_trace(
-                    win.num_events, n_it, conv, trace, time.perf_counter() - t0
-                )
-            elif fused:
-                t0 = time.perf_counter()
-                knots, gx_j, gy_j, cost_min, n_it, conv, trace = (
-                    solver.solve_window_fused(
-                        jnp.asarray(seg.knots, self.dtype),
-                        jnp.asarray(self.gx, self.dtype),
-                        jnp.asarray(self.gy, self.dtype),
-                        dev,
-                        mcfg,
-                        jnp.asarray(cfg.damping_factor, self.dtype),
-                        jnp.asarray(cfg.tol_fun, self.dtype),
+                    # streamed forming composes with sharding (chunk-
+                    # recomputed Jacobians shard-locally); stream_chunk is
+                    # honored
+                    mesh = dist.make_mesh(n_dev, 1)
+                    t0 = time.perf_counter()
+                    # memoized builder: one compile per distinct
+                    # (mesh, cfg, knot count, ...) signature across windows
+                    solve = dist.solve_window_sharded_cached(
+                        mesh, vcfg, seg.num_knots,
+                        self.camera.width * self.camera.height,
                         fix_first=first_window,
-                        use_cg=cfg.use_cg,
                         max_num_iter=cfg.max_num_iter,
                         num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
                         return_trace=True,
+                        use_cg=cfg.use_cg,
                     )
-                )
-                stats = self._stats_from_trace(
-                    win.num_events, n_it, conv, trace, time.perf_counter() - t0
-                )
-            elif use_sharded:
-                # Host-driven sharded loop: recording runs (evo dumps,
-                # per-phase timing, iterations.txt) keep full observability
-                # on multi-chip meshes (reference saveEvoData,
-                # solver.cpp:370-425).
-                from . import dist
+                    knots, gx_j, gy_j, cost_min, n_it, conv, trace = solve(
+                        *dist.replicate(
+                            mesh,
+                            jnp.asarray(seg_knots, self.dtype),
+                            jnp.asarray(self.gx, self.dtype),
+                            jnp.asarray(self.gy, self.dtype),
+                        ),
+                        dist.shard_window_all(dev, mesh),
+                        jnp.asarray(cfg.damping_factor, self.dtype),
+                        jnp.asarray(cfg.tol_fun, self.dtype),
+                    )
+                    stats = self._stats_from_trace(
+                        win.num_events, n_it, conv, trace,
+                        time.perf_counter() - t0,
+                    )
+                elif fused:
+                    t0 = time.perf_counter()
+                    knots, gx_j, gy_j, cost_min, n_it, conv, trace = (
+                        solver.solve_window_fused(
+                            jnp.asarray(seg_knots, self.dtype),
+                            jnp.asarray(self.gx, self.dtype),
+                            jnp.asarray(self.gy, self.dtype),
+                            dev,
+                            vcfg,
+                            jnp.asarray(cfg.damping_factor, self.dtype),
+                            jnp.asarray(cfg.tol_fun, self.dtype),
+                            fix_first=first_window,
+                            use_cg=cfg.use_cg,
+                            max_num_iter=cfg.max_num_iter,
+                            num_times_tol_fun_sat=cfg.num_times_tol_fun_sat,
+                            return_trace=True,
+                        )
+                    )
+                    stats = self._stats_from_trace(
+                        win.num_events, n_it, conv, trace,
+                        time.perf_counter() - t0,
+                    )
+                elif use_sharded:
+                    # Host-driven sharded loop: recording runs (evo dumps,
+                    # per-phase timing, iterations.txt) keep full
+                    # observability on multi-chip meshes (reference
+                    # saveEvoData, solver.cpp:370-425).
+                    from . import dist
 
-                mesh = dist.make_mesh(n_dev, 1)
-                knots, gx_j, gy_j, stats = dist.solve_window_sharded_host(
-                    *dist.replicate(
+                    mesh = dist.make_mesh(n_dev, 1)
+                    knots, gx_j, gy_j, stats = dist.solve_window_sharded_host(
+                        *dist.replicate(
+                            mesh,
+                            jnp.asarray(seg_knots, self.dtype),
+                            jnp.asarray(self.gx, self.dtype),
+                            jnp.asarray(self.gy, self.dtype),
+                        ),
+                        dist.shard_window_all(dev, mesh),
                         mesh,
-                        jnp.asarray(seg.knots, self.dtype),
+                        vcfg,
+                        self.camera.width * self.camera.height,
+                        lm,
+                        damping_factor=cfg.damping_factor,
+                        fix_first=first_window,
+                        use_cg=cfg.use_cg,
+                        callback=cb,
+                        checkpoint_cb=ck_cb_v,
+                        checkpoint_every=ck_every if ck_cb_v else 0,
+                        resume_state=resume_v,
+                    )
+                else:
+                    knots, gx_j, gy_j, stats = solver.solve_window(
+                        jnp.asarray(seg_knots, self.dtype),
                         jnp.asarray(self.gx, self.dtype),
                         jnp.asarray(self.gy, self.dtype),
-                    ),
-                    dist.shard_window_all(dev, mesh),
-                    mesh,
-                    mcfg,
-                    self.camera.width * self.camera.height,
-                    lm,
-                    damping_factor=cfg.damping_factor,
-                    fix_first=first_window,
-                    use_cg=cfg.use_cg,
-                    callback=cb,
-                    checkpoint_cb=ck_cb,
-                    checkpoint_every=ck_every,
-                    resume_state=resume_lm,
-                )
+                        dev,
+                        vcfg,
+                        lm,
+                        damping_factor=cfg.damping_factor,
+                        fix_first=first_window,
+                        use_cg=cfg.use_cg,
+                        callback=cb,
+                        checkpoint_cb=ck_cb_v,
+                        checkpoint_every=ck_every if ck_cb_v else 0,
+                        resume_state=resume_v,
+                    )
+                return knots, gx_j, gy_j, stats
+
+            ms_sel = None
+            if cfg.multi_start and resume_lm is None:
+                # MULTI-START window (BAConfig.multi_start): solve all four
+                # (sample_mode x coarse-to-fine) variants — the LEGM cost
+                # landscape is multi-basin on high-texture/large-|dp|
+                # problems and the variants act as independent starts —
+                # and keep the one with the LOWEST window data cost under
+                # the reference evaluation model (GT-free selection;
+                # measured to track the better variant on 9/10 suite rows,
+                # docs/suite_table_ecrot_r5.md). Mid-window checkpoints are
+                # disabled inside variants (window-boundary checkpoints
+                # still cover the run).
+                eval_cfg = dataclasses.replace(mcfg, sample_mode="curr")
+                best = None
+                for sm in ("curr", "mid"):
+                    for c2f in (False, True):
+                        vcfg = dataclasses.replace(mcfg, sample_mode=sm)
+                        k0 = seg.knots
+                        if c2f:
+                            k0 = self._coarse_presolve(
+                                k0, dev, vcfg, cfg, first_window
+                            )
+                        kv, gxv, gyv, stv = run_solve(k0, vcfg, None, None)
+                        if eval_cfg.stream_chunk is not None:
+                            pe_v = float(
+                                model.cost_and_activity_streamed(
+                                    kv, gxv, gyv, dev, eval_cfg
+                                )[0]
+                            )
+                        else:
+                            lin_v = model.linearize(
+                                kv, gxv, gyv, dev, eval_cfg, need_deriv=False
+                            )
+                            pe_v = float(model.data_cost(lin_v.e, eval_cfg))
+                        sel = sm + ("+c2f" if c2f else "")
+                        if self._iter_log is not None:
+                            self._iter_log.write(
+                                f"win {win_id} multi-start {sel}: "
+                                f"data cost {pe_v}\n"
+                            )
+                        if best is None or pe_v < best[0]:
+                            best = (pe_v, sel, kv, gxv, gyv, stv)
+                _pe, ms_sel, knots, gx_j, gy_j, stats = best
             else:
-                knots, gx_j, gy_j, stats = solver.solve_window(
-                    jnp.asarray(seg.knots, self.dtype),
-                    jnp.asarray(self.gx, self.dtype),
-                    jnp.asarray(self.gy, self.dtype),
-                    dev,
-                    mcfg,
-                    lm,
-                    damping_factor=cfg.damping_factor,
-                    fix_first=first_window,
-                    use_cg=cfg.use_cg,
-                    callback=cb,
-                    checkpoint_cb=ck_cb,
-                    checkpoint_every=ck_every,
-                    resume_state=resume_lm,
+                if cfg.coarse_to_fine and resume_lm is None:
+                    # coarse-to-fine pose pre-solve (skipped on mid-window
+                    # resume: the resumed knots are already past the coarse
+                    # regime)
+                    seg = dataclasses.replace(
+                        seg,
+                        knots=self._coarse_presolve(
+                            seg.knots, dev, mcfg, cfg, first_window
+                        ),
+                    )
+                knots, gx_j, gy_j, stats = run_solve(
+                    seg.knots, mcfg, ck_cb, resume_lm
                 )
             resume_lm = None  # consumed by the resumed window
             stats.lm_mode = (
                 ("fused-sharded" if fused else "host-sharded")
                 if use_sharded
                 else ("fused" if fused else "host")
-            ) + ("(fused-cap-fallback)" if fused_fallback else "")
+            ) + ("(fused-cap-fallback)" if fused_fallback else "") + (
+                f"+multistart:{ms_sel}" if ms_sel else ""
+            )
             self.gx, self.gy = np.asarray(gx_j), np.asarray(gy_j)
             seg = dataclasses.replace(seg, knots=np.asarray(knots, np.float64))
             self.traj.replace_with(seg, seg.num_knots, 0, idx_cp_beg)

@@ -120,6 +120,15 @@ for tag, kw in (
     run_row(f"ecrot_bicycle_like:{tag}", seed, motion, smooth, amp,
             duration, **KW, contaminate=0.6, **kw)
 
+# 5b) 40% severity point (partial-recovery regime: clearer separation)
+for tag, kw in (
+    ("contam40_quad", {}),
+    ("contam40_huber", dict(irls="huber", eta=0.2)),
+    ("contam40_cauchy", dict(irls="cauchy", eta=25.0)),
+):
+    run_row(f"ecrot_bicycle_like:{tag}", seed, motion, smooth, amp,
+            duration, **KW, contaminate=0.4, **kw)
+
 # 6) MULTI-START rows: all four (sample_mode x c2f) variants per sequence,
 #    winner selected by refined photometric error under the reference
 #    evaluation model (GT-free) — the recommended accuracy configuration.

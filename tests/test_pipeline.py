@@ -891,3 +891,30 @@ def test_pipeline_coarse_to_fine(dataset):
     cd = res_d.window_stats[-1].iterations[-1]["cost_min"]
     cc = res_c.window_stats[-1].iterations[-1]["cost_min"]
     assert cc <= 2.0 * cd
+
+
+def test_pipeline_multi_start(dataset):
+    """BAConfig.multi_start: every window solved with all four
+    (sample_mode x c2f) variants, winner picked by GT-free photometric
+    cost; lm_mode records the selection."""
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"),
+                              str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.0, stop_time=0.6, c_th=0.1, alpha=0.5, max_num_iter=3,
+        dt_knots=0.05, dtype="float64", multi_start=True,
+    )
+    res = EmbaPipeline(
+        cfg, load_camera_yaml(str(dataset / "calib.yaml")), (t, x, y, pol),
+        times, rots, init_gx=gx, init_gy=gy,
+    ).run()
+    assert np.isfinite(res.trajectory.knots).all()
+    st = res.window_stats[-1]
+    assert "+multistart:" in st.lm_mode
+    sel = st.lm_mode.split("+multistart:")[1]
+    assert sel in ("curr", "mid", "curr+c2f", "mid+c2f")
