@@ -139,11 +139,14 @@ L += [
     "City converges to ~1.37 deg under EVERY strong configuration (full",
     "stream, midpoint, coarse-to-fine, and their composition) — five",
     "independent optimizers landing on the same value is evidence of a",
-    "problem-intrinsic floor, not an optimizer failure: city is the",
-    "suite's sharpest texture (smooth=2), and at 1024x512 the map cannot",
-    "represent the GT texture that generated the events, leaving",
-    "irreducible model error that caps pose recovery. The relative drop",
-    "improves from 12% (r4 full stream) to 16% (full+mid / full+c2f).",
+    "problem-intrinsic floor, not an optimizer failure. City pairs the",
+    "suite's sharpest texture (smooth=2) with its fastest motion (0.30):",
+    "the map gradient varies substantially over the inter-event",
+    "displacement, so ANY one-point quadrature of G.dp (curr or midpoint)",
+    "carries irreducible model error — the LEGM regime bound itself",
+    "(CLAUDE.md model-regime note), which the reference's own mixed",
+    "real-data rows exhibit. The relative drop improves from 12% (r4 full",
+    "stream) to 16% (full+mid / full+c2f).",
     "",
     "## Robust costs on contaminated streams (model.cpp:493-687 parity",
     "as a measured CAPABILITY)",
