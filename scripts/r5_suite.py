@@ -136,4 +136,13 @@ for name, (seed, motion, smooth, amp, duration) in ES.ECROT_LIKE.items():
     run_row(f"{name}:auto", seed, motion, smooth, amp, duration, **KW,
             multi_start=True)
 
+# 7) multi-seed robustness of the :auto configuration — same row family,
+#    different scene + perturbation draws (the suite rows are single
+#    draws; this bounds seed luck on the headline mean)
+for name in ("ecrot_bicycle_like", "ecrot_street_like", "ecd_dynamic_like"):
+    seed, motion, smooth, amp, duration = ES.ECROT_LIKE[name]
+    for ds in (100, 200):
+        run_row(f"{name}:auto_s{ds}", seed + ds, motion, smooth, amp,
+                duration, **KW, multi_start=True)
+
 print("wrote", OUT)

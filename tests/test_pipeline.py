@@ -918,3 +918,30 @@ def test_pipeline_multi_start(dataset):
     assert "+multistart:" in st.lm_mode
     sel = st.lm_mode.split("+multistart:")[1]
     assert sel in ("curr", "mid", "curr+c2f", "mid+c2f")
+
+
+def test_pipeline_multi_start_sharded(dataset):
+    """multi_start composes with num_devices>1: each of the four variants
+    runs as the sharded LM program over the virtual mesh; the selection is
+    recorded."""
+    import jax
+    import emba_tpu.config as C
+    from emba_tpu.camera import load_camera_yaml
+    from emba_tpu.pipeline import EmbaPipeline
+
+    assert jax.device_count() >= 8
+    t, x, y, pol, _ = eio.load_events_npz(str(dataset / "events.npz"))
+    times, rots = eio.load_tum_trajectory(str(dataset / "traj_gt.txt"))
+    gx, gy = eio.load_map_bin(str(dataset / "Gx.bin"),
+                              str(dataset / "Gy.bin"))
+    cfg = C.BAConfig(
+        start_time=0.02, stop_time=0.4, c_th=0.1, alpha=0.5, max_num_iter=3,
+        dt_knots=0.05, dtype="float64", fused_lm=True, num_devices=8,
+        multi_start=True,
+    )
+    res = EmbaPipeline(
+        cfg, load_camera_yaml(str(dataset / "calib.yaml")), (t, x, y, pol),
+        times, rots, init_gx=gx, init_gy=gy,
+    ).run()
+    assert np.isfinite(res.trajectory.knots).all()
+    assert "+multistart:" in res.window_stats[-1].lm_mode
