@@ -179,6 +179,32 @@ L += [
     "at realistic (<20%) rates quadratic BA is already robust here —",
     "an honest negative at those rates, measured in the round-5 probes.",
     "",
+    "## Multi-seed robustness of `auto` (same row family, fresh scene +",
+    "perturbation draws)",
+    "",
+    "| family | seed draw | RMSE init -> refined [deg] |",
+    "|---|---|---|",
+]
+for fam in ("ecrot_bicycle_like", "ecrot_street_like", "ecd_dynamic_like"):
+    for tag, lbl in (("", "original"), (":auto_s100", "+100"),
+                     (":auto_s200", "+200")):
+        key = f"{fam}:auto" if tag == "" else f"{fam}{tag}"
+        r = r5.get(key)
+        if r:
+            L.append(f"| {fam} | {lbl} | {cell(r)} |")
+L += [
+    "",
+    "7/9 draws refine to <= 0.78 deg. The two plateaued draws (bicycle",
+    "+100 at 1.72, street +100 at 1.50) start from larger perturbations",
+    "(1.83/1.98 deg init) on fresh sharp-texture scenes; doubling the",
+    "iteration budget does not move them (bicycle +100 with",
+    "max_num_iter=100: 521 total iterations across the four starts, RMSE",
+    "1.715 vs 1.718 — basin/regime-bound, not iteration-bound; photometric",
+    "still drops 10.8x). This is the LEGM 'cost drops but RMSE flat'",
+    "regime the reference's own real-data rows exhibit (CLAUDE.md",
+    "model-regime note) — `auto` widens the basin substantially but does",
+    "not eliminate it.",
+    "",
 ]
 
 with open(os.path.join(REPO, DST), "w") as f:
