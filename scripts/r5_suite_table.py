@@ -110,11 +110,15 @@ L += [
     "  catastrophic loss (mid alone would cost bicycle 0.26->0.68, shapes",
     "  0.42->1.28, poster 1.03->1.41), and lands within the best variant",
     "  on 8/10 rows. Its two misses are honest selector limits: boxes",
-    "  (mid+c2f reaches 0.20 but scores worse under the curr evaluation",
-    "  model — the midpoint-keyed map is penalized by curr-pixel",
-    "  evaluation) and bay (picks 0.31 over mid's 0.17). Cost is 4x the",
-    "  window solve (~40-60 s per variant on one chip; the variants are",
-    "  independent and could run on 4 chips in parallel).",
+    "  (mid+c2f reaches 0.20 but scores a HIGHER photometric cost) and",
+    "  bay (picks 0.31 over mid's 0.17). The boxes miss is NOT a",
+    "  map-keying artifact: re-scoring every candidate with a freshly",
+    "  solved map under the fixed evaluation model (closed-form",
+    "  solve_map_only per candidate) leaves the ranking unchanged —",
+    "  measured negative, docs/remap_selection_probe_r5.json — the",
+    "  photometric landscape itself prefers the wrong basin there. Cost",
+    "  is 4x the window solve (~40-60 s per variant on one chip; the",
+    "  variants are independent and could run on 4 chips in parallel).",
     "",
     "## The hardest row: ecrot_city_like compositions",
     "",
