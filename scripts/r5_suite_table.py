@@ -91,6 +91,17 @@ for col, get in (
     if vals:
         means[col] = sum(vals) / len(vals)
 
+L += [""]
+fa = r5.get("ecd_dynamic_like:full_auto")
+if fa:
+    L += [
+        f"Multi-start composes with streamed forming at scale: the FULL",
+        f"un-subsampled `ecd_dynamic_like` stream ({fa['num_events']:,}",
+        f"events) refines {fa['rmse_init_deg']:.2f} ->",
+        f"**{fa['rmse_refined_deg']:.2f}** under `auto`",
+        f"({fa['wall_s']:.0f} s, selected {fa.get('selected_variant')}) —",
+        "the r4 full-stream single-variant result was 1.60.",
+    ]
 L += [
     "",
     f"Suite means: curr {means.get('curr', float('nan')):.3f} deg, "
