@@ -735,7 +735,7 @@ class EmbaPipeline:
             )
             if fused_fallback:
                 fused = False
-            def run_solve(seg_knots, vcfg, ck_cb_v, resume_v):
+            def run_solve(seg_knots, vcfg, ck_cb_v, resume_v, cb_v=None):
                 """One window solve on the selected execution path (fused /
                 host x single-device / sharded). Returns (knots, gx, gy,
                 stats)."""
@@ -818,7 +818,7 @@ class EmbaPipeline:
                         damping_factor=cfg.damping_factor,
                         fix_first=first_window,
                         use_cg=cfg.use_cg,
-                        callback=cb,
+                        callback=cb_v,
                         checkpoint_cb=ck_cb_v,
                         checkpoint_every=ck_every if ck_cb_v else 0,
                         resume_state=resume_v,
@@ -834,7 +834,7 @@ class EmbaPipeline:
                         damping_factor=cfg.damping_factor,
                         fix_first=first_window,
                         use_cg=cfg.use_cg,
-                        callback=cb,
+                        callback=cb_v,
                         checkpoint_cb=ck_cb_v,
                         checkpoint_every=ck_every if ck_cb_v else 0,
                         resume_state=resume_v,
@@ -863,7 +863,13 @@ class EmbaPipeline:
                             k0 = self._coarse_presolve(
                                 k0, dev, vcfg, cfg, first_window
                             )
-                        kv, gxv, gyv, stv = run_solve(k0, vcfg, None, None)
+                        # per-iteration callbacks (evo dumps) stay off inside variants
+                        # — they would overwrite each other; the
+                        # selected window's maps are saved after
+                        # selection as usual
+                        kv, gxv, gyv, stv = run_solve(
+                            k0, vcfg, None, None
+                        )
                         if eval_cfg.stream_chunk is not None:
                             pe_v = float(
                                 model.cost_and_activity_streamed(
@@ -896,7 +902,7 @@ class EmbaPipeline:
                         ),
                     )
                 knots, gx_j, gy_j, stats = run_solve(
-                    seg.knots, mcfg, ck_cb, resume_lm
+                    seg.knots, mcfg, ck_cb, resume_lm, cb_v=cb
                 )
             resume_lm = None  # consumed by the resumed window
             stats.lm_mode = (
